@@ -1,0 +1,142 @@
+"""Network assembly, arch registry, checkpoint I/O
+(reference: src/lib/model/model.py, base_model.py).
+
+``create_model(arch, heads, head_convs, cfg)`` -> a Flax module whose
+``__call__(x, pre_img, pre_hm, train)`` returns a list (per stack) of
+dicts head->NHWC map, mirroring the reference forward contract
+(reference: base_model.py:73-91).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from centertrack_tpu.models.dla import DLASeg
+from centertrack_tpu.models.resnet import PoseResNet, PoseResDCN
+from centertrack_tpu.models.heads import HeadSet
+
+
+class CenterTrackNet(nn.Module):
+    """Backbone+neck -> per-stack head maps."""
+    arch: str = "dla_34"
+    num_layers: int = 34
+    heads: Tuple[Tuple[str, int], ...] = (("hm", 1), ("reg", 2), ("wh", 2))
+    head_convs: Tuple[Tuple[str, Tuple[int, ...]], ...] = ()
+    head_kernel: int = 3
+    prior_bias: float = -4.6
+    dla_node: str = "dcn"
+    with_pre_img: bool = False
+    with_pre_hm: bool = False
+
+    @nn.compact
+    def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
+        if self.arch == "dla":
+            backbone = DLASeg(self.num_layers, dla_node=self.dla_node,
+                              with_pre_img=self.with_pre_img,
+                              with_pre_hm=self.with_pre_hm, name="backbone")
+        elif self.arch == "res":
+            backbone = PoseResNet(self.num_layers,
+                                  with_pre_img=self.with_pre_img,
+                                  with_pre_hm=self.with_pre_hm,
+                                  name="backbone")
+        elif self.arch == "resdcn":
+            backbone = PoseResDCN(self.num_layers,
+                                  with_pre_img=self.with_pre_img,
+                                  with_pre_hm=self.with_pre_hm,
+                                  name="backbone")
+        elif self.arch == "generic":
+            from centertrack_tpu.models.generic import GenericNetwork
+            backbone = GenericNetwork(self.num_layers,
+                                      with_pre_img=self.with_pre_img,
+                                      with_pre_hm=self.with_pre_hm,
+                                      name="backbone")
+        else:
+            raise ValueError(f"unknown arch {self.arch}")
+        feats = backbone(x, pre_img, pre_hm, train=train)
+        head_set = HeadSet(self.heads, self.head_convs, self.head_kernel,
+                           self.prior_bias, name="heads")
+        return [head_set(f) for f in feats]
+
+
+def create_model(arch: str, heads: Dict[str, int],
+                 head_convs: Dict[str, Tuple[int, ...]],
+                 cfg=None) -> CenterTrackNet:
+    """arch string 'dla_34' -> module (reference: model.py:24-29)."""
+    num_layers = int(arch[arch.find("_") + 1:]) if "_" in arch else 0
+    arch_base = arch[: arch.find("_")] if "_" in arch else arch
+    kwargs = {}
+    if cfg is not None:
+        kwargs = dict(
+            dla_node=cfg.dla_node,
+            with_pre_img=cfg.pre_img,
+            with_pre_hm=cfg.pre_hm,
+            head_kernel=cfg.head_kernel,
+            prior_bias=cfg.prior_bias,
+        )
+    return CenterTrackNet(
+        arch=arch_base, num_layers=num_layers,
+        heads=tuple(sorted(heads.items())),
+        head_convs=tuple(sorted(
+            (k, tuple(v)) for k, v in head_convs.items())),
+        **kwargs)
+
+
+def init_model(model: CenterTrackNet, cfg, rng=None):
+    """Initialize params + batch_stats with the config's static shapes."""
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.seed if cfg else 0)
+    h = cfg.input_h if cfg and cfg.input_h > 0 else 128
+    w = cfg.input_w if cfg and cfg.input_w > 0 else 128
+    x = jnp.zeros((1, h, w, 3), jnp.float32)
+    pre_img = x if model.with_pre_img else None
+    pre_hm = (jnp.zeros((1, h, w, 1), jnp.float32)
+              if model.with_pre_hm else None)
+    variables = model.init(rng, x, pre_img, pre_hm, train=False)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def save_model(path: str, epoch: int, params, batch_stats,
+               opt_state=None) -> None:
+    """Persist {epoch, params, batch_stats, opt_state}
+    (reference: model.py:92-101 writes {epoch, state_dict, optimizer})."""
+    payload = {
+        "epoch": epoch,
+        "params": flax.serialization.to_state_dict(params),
+        "batch_stats": flax.serialization.to_state_dict(batch_stats),
+    }
+    if opt_state is not None:
+        payload["opt_state"] = flax.serialization.to_state_dict(opt_state)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_model(path: str, params_template=None, batch_stats_template=None,
+               opt_state_template=None):
+    """Load a checkpoint saved by save_model. If templates are given, the
+    state dicts are restored onto them (shape-checked); otherwise raw
+    dicts are returned (reference: model.py:31-90 tolerates prefix and
+    shape drift; strictness is fine here because arch strings fully
+    determine shapes)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    out = {"epoch": payload.get("epoch", 0)}
+    if params_template is not None:
+        out["params"] = flax.serialization.from_state_dict(
+            params_template, payload["params"])
+        out["batch_stats"] = flax.serialization.from_state_dict(
+            batch_stats_template, payload["batch_stats"])
+        if opt_state_template is not None and "opt_state" in payload:
+            out["opt_state"] = flax.serialization.from_state_dict(
+                opt_state_template, payload["opt_state"])
+    else:
+        out["params"] = payload["params"]
+        out["batch_stats"] = payload["batch_stats"]
+        if "opt_state" in payload:
+            out["opt_state"] = payload["opt_state"]
+    return out

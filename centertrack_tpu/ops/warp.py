@@ -1,0 +1,87 @@
+"""On-device affine warp + normalization — the fused input prologue.
+
+The reference does cv2.warpAffine + normalize on the host per frame
+(reference: src/lib/detector.py:207-239, src/lib/dataset/
+generic_dataset.py:317-327). Here the raw uint8 frame is shipped to the
+device once and the warp/normalize/bilinear-resample runs inside the same
+jitted program as the network, removing the host hot loop and one H2D
+copy of the fp32 image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def affine_warp(image: jnp.ndarray, inv_trans: jnp.ndarray,
+                out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear warp of (H, W, C) by the INVERSE 2x3 affine.
+
+    For each output pixel (x, y), samples the input at
+    ``src = inv_trans @ [x, y, 1]`` with bilinear interpolation and zero
+    padding outside — matching cv2.warpAffine(..., INTER_LINEAR,
+    borderValue=0) up to cv2's fixed-point rounding.
+    """
+    h, w = image.shape[0], image.shape[1]
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # out_h, out_w
+    sx = inv_trans[0, 0] * gx + inv_trans[0, 1] * gy + inv_trans[0, 2]
+    sy = inv_trans[1, 0] * gx + inv_trans[1, 1] * gy + inv_trans[1, 2]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def sample(yi, xi):
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        vals = image[yi_c, xi_c]  # out_h, out_w, C
+        return vals * valid[..., None].astype(image.dtype)
+
+    img_f = image.astype(jnp.float32)
+
+    def sample_f(yi, xi):
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        xi_c = jnp.clip(xi, 0, w - 1)
+        yi_c = jnp.clip(yi, 0, h - 1)
+        vals = img_f[yi_c, xi_c]
+        return vals * valid[..., None].astype(jnp.float32)
+
+    v00 = sample_f(y0i, x0i)
+    v01 = sample_f(y0i, x0i + 1)
+    v10 = sample_f(y0i + 1, x0i)
+    v11 = sample_f(y0i + 1, x0i + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    out = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) +
+           v10 * (1 - fx) * fy + v11 * fx * fy)
+    return out
+
+
+def preprocess_frame(frame_u8: jnp.ndarray, inv_trans: jnp.ndarray,
+                     out_h: int, out_w: int, mean: jnp.ndarray,
+                     std: jnp.ndarray) -> jnp.ndarray:
+    """uint8 BGR frame -> normalized (1, out_h, out_w, 3) network input.
+
+    Fuses warp + /255 + mean/std normalize
+    (reference: detector.py:219-224).
+    """
+    warped = affine_warp(frame_u8, inv_trans, out_h, out_w)
+    inp = (warped / 255.0 - mean) / std
+    return inp[None]
+
+
+def fix_res_meta(height: int, width: int, input_h: int, input_w: int):
+    """Center/scale for fixed-resolution testing
+    (reference: detector.py:193-197): center = image center,
+    scale = max(h, w)."""
+    c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
+    s = max(height, width) * 1.0
+    return c, s

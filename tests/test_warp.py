@@ -1,0 +1,35 @@
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from centertrack_tpu.ops import affine, warp
+
+
+def test_affine_warp_matches_cv2():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (120, 160, 3), np.uint8)
+    c = np.array([80.0, 60.0], np.float32)
+    s = 160.0
+    out_w, out_h = 96, 64
+    trans = affine.get_affine_transform(c, s, 0, (out_w, out_h))
+    ref = cv2.warpAffine(img, trans.astype(np.float32), (out_w, out_h),
+                         flags=cv2.INTER_LINEAR)
+    inv = affine.invert_affine(trans)
+    ours = np.asarray(warp.affine_warp(
+        jnp.asarray(img), jnp.asarray(inv, jnp.float32), out_h, out_w))
+    # cv2 uses 5-bit fixed point; allow ~2 LSB
+    assert np.abs(ours - ref.astype(np.float32)).max() <= 2.0
+
+
+def test_preprocess_normalization():
+    img = np.full((32, 32, 3), 128, np.uint8)
+    trans = affine.get_affine_transform(
+        np.array([16.0, 16.0]), 32.0, 0, (32, 32))
+    inv = affine.invert_affine(trans)
+    mean = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    std = jnp.asarray([0.25, 0.25, 0.25], jnp.float32)
+    out = np.asarray(warp.preprocess_frame(
+        jnp.asarray(img), jnp.asarray(inv, jnp.float32), 32, 32, mean, std))
+    expect = (128 / 255.0 - 0.5) / 0.25
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+    assert out.shape == (1, 32, 32, 3)
