@@ -1,0 +1,119 @@
+"""Video/webcam/image-folder demo (reference: src/demo.py).
+
+Usage:
+  python -m centertrack_tpu.cli.demo tracking --demo video.mp4 \
+      --load_model model.ckpt [--save_video --video_out out.mp4]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import cv2
+import numpy as np
+
+from centertrack_tpu.cli.opts import parse_demo
+from centertrack_tpu.engine.detector import Detector
+
+IMAGE_EXT = ["jpg", "jpeg", "png", "webp"]
+
+
+def _draw_results(img, results, vis_thresh=0.3):
+    """Minimal overlay: boxes + ids + tracking arrows."""
+    out = img.copy()
+    for item in results:
+        if item["score"] < vis_thresh:
+            continue
+        if item.get("active", 1) == 0:
+            continue
+        bbox = np.array(item["bbox"], np.int32)
+        tid = item.get("tracking_id", 0)
+        color = tuple(int(c) for c in (
+            (tid * 67) % 255, (tid * 131) % 255, (tid * 37) % 255))
+        cv2.rectangle(out, (bbox[0], bbox[1]), (bbox[2], bbox[3]), color, 2)
+        cv2.putText(out, str(tid), (bbox[0], max(bbox[1] - 4, 0)),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+        if "tracking" in item:
+            ct = np.array(item["ct"], np.int32)
+            tr = np.array(item["tracking"], np.int32)
+            cv2.arrowedLine(out, tuple(ct), tuple(ct + tr), (0, 255, 255), 2)
+    return out
+
+
+def demo(cfg, args):
+    detector = Detector(cfg)
+    results = {}
+
+    is_video = False
+    if args.demo == "webcam" or args.demo[args.demo.rfind(".") + 1:].lower() \
+            in ["mp4", "mov", "avi", "mkv"]:
+        is_video = True
+        cam = cv2.VideoCapture(0 if args.demo == "webcam" else args.demo)
+        frames = None
+    else:
+        if os.path.isdir(args.demo):
+            frames = sorted(
+                os.path.join(args.demo, f) for f in os.listdir(args.demo)
+                if f.split(".")[-1].lower() in IMAGE_EXT)
+        else:
+            frames = [args.demo]
+
+    writer = None
+    cnt = 0
+    timing = []
+    while True:
+        if is_video:
+            ok, img = cam.read()
+            if not ok or img is None:
+                break
+        else:
+            if cnt >= len(frames):
+                break
+            img = cv2.imread(frames[cnt])
+        cnt += 1
+        ret = detector.run(img)
+        results[cnt] = ret["results"]
+        timing.append(ret["tot"])
+        line = f"frame {cnt} |" + "".join(
+            f" {k} {ret[k]:.3f}s" for k in
+            ("tot", "pre", "net", "post", "track") if k in ret)
+        print(line)
+        if args.save_video:
+            vis = _draw_results(img, ret["results"], cfg.vis_thresh)
+            if writer is None:
+                out_path = args.video_out or "demo_out.mp4"
+                writer = cv2.VideoWriter(
+                    out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                    args.save_framerate, (vis.shape[1], vis.shape[0]))
+            writer.write(vis)
+        if cfg.num_iters > 0 and cnt >= cfg.num_iters:
+            break
+    if writer is not None:
+        writer.release()
+    if args.save_results:
+        path = f"demo_results_{cfg.task.replace(',', '_')}.json"
+        with open(path, "w") as f:
+            json.dump({k: [{kk: (vv.tolist()
+                                 if isinstance(vv, np.ndarray) else vv)
+                            for kk, vv in it.items()} for it in v]
+                       for k, v in results.items()}, f)
+        print(f"results saved to {path}")
+    if len(timing) > 2:
+        # skip warmup frames when reporting
+        t = np.array(timing[2:])
+        print(f"avg fps (excl. warmup): {1.0 / t.mean():.1f}")
+    return results
+
+
+def main():
+    cfg, args = parse_demo()
+    if args.demo == "":
+        print("usage: demo.py <task> --demo <path>")
+        sys.exit(1)
+    demo(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,643 @@
+"""Generic COCO-json dataset: augmentation + GT target generation
+(reference: src/lib/dataset/generic_dataset.py).
+
+TPU-first split of work:
+  * host (here): image decode, affine warp, color aug, per-object scalar
+    targets (ind/cat/wh/reg/tracking/...), and COMPACT splat descriptors
+    (integer centers + radii + class per object);
+  * device (ops/gaussian.render_gaussians, called inside the jitted train
+    step): the dense heatmap rendering the reference does serially on CPU
+    (generic_dataset.py:423-515, :205-255).
+
+Every output array has fixed capacity so the train step compiles once.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from centertrack_tpu.data.coco_api import COCO
+from centertrack_tpu.ops.affine import affine_transform, get_affine_transform
+from centertrack_tpu.ops.gaussian import gaussian_radius, draw_umich_gaussian
+
+
+def color_aug(data_rng, image, eig_val, eig_vec):
+    """CornerNet color augmentation (reference: utils/image.py:211-243).
+    image: float32 HWC in [0,1], modified in place."""
+    def grayscale(img):
+        return cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+
+    def blend(alpha, img1, img2):
+        img1 *= alpha
+        img2 *= (1 - alpha)
+        img1 += img2
+
+    def saturation(var):
+        alpha = 1.0 + data_rng.uniform(low=-var, high=var)
+        blend(alpha, image, np.repeat(gs[:, :, None], 3, axis=2))
+
+    def brightness(var):
+        alpha = 1.0 + data_rng.uniform(low=-var, high=var)
+        np.multiply(image, alpha, out=image)
+
+    def contrast(var):
+        alpha = 1.0 + data_rng.uniform(low=-var, high=var)
+        blend(alpha, image, np.full_like(image, gs_mean))
+
+    gs = grayscale(image)
+    gs_mean = gs.mean()
+    functions = [brightness, contrast, saturation]
+    order = data_rng.permutation(3)
+    for i in order:
+        functions[i](0.4)
+    image += np.dot(eig_vec, eig_val * data_rng.normal(scale=0.1, size=(3,))
+                    ).astype(np.float32)
+
+
+class GenericDataset:
+    """Base dataset. Subclasses set the class attributes
+    (reference: generic_dataset.py:21-52)."""
+
+    is_fusion_dataset = False
+    default_resolution: Optional[Tuple[int, int]] = None
+    num_categories: Optional[int] = None
+    class_name: Optional[List[str]] = None
+    cat_ids: Optional[Dict[int, int]] = None
+    max_objs: Optional[int] = None
+    rest_focal_length = 1200
+    num_joints = 17
+    flip_idx = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10],
+                [11, 12], [13, 14], [15, 16]]
+    edges = [[0, 1], [0, 2], [1, 3], [2, 4],
+             [4, 6], [3, 5], [5, 6],
+             [5, 7], [7, 9], [6, 8], [8, 10],
+             [6, 12], [5, 11], [11, 12],
+             [12, 14], [14, 16], [11, 13], [13, 15]]
+    mean = np.array([0.40789654, 0.44719302, 0.47026115],
+                    dtype=np.float32).reshape(1, 1, 3)
+    std = np.array([0.28863828, 0.27408164, 0.27809835],
+                   dtype=np.float32).reshape(1, 1, 3)
+    _eig_val = np.array([0.2141788, 0.01817699, 0.00341571],
+                        dtype=np.float32)
+    _eig_vec = np.array([
+        [-0.58752847, -0.69563484, 0.41340352],
+        [-0.5832747, 0.00994535, -0.81221408],
+        [-0.56089297, 0.71832671, 0.41158938]
+    ], dtype=np.float32)
+    ignore_val = 1
+    max_ignore_regions = 16
+    nuscenes_att_range = {0: [0, 1], 1: [0, 1], 2: [2, 3, 4], 3: [2, 3, 4],
+                          4: [2, 3, 4], 5: [5, 6, 7], 6: [5, 6, 7],
+                          7: [5, 6, 7]}
+
+    def __init__(self, cfg=None, split=None, ann_path=None, img_dir=None):
+        if cfg is not None and split is not None:
+            self.split = split
+            self.cfg = cfg
+            self._data_rng = np.random.RandomState(123)
+        if ann_path is not None and img_dir is not None:
+            print(f"==> initializing {split} data from {ann_path},\n"
+                  f" images from {img_dir} ...")
+            self.coco = COCO(ann_path)
+            self.images = self.coco.getImgIds()
+            if cfg.tracking:
+                if "videos" not in self.coco.dataset:
+                    self.fake_video_data()
+                self.video_to_images = defaultdict(list)
+                for image in self.coco.dataset["images"]:
+                    self.video_to_images[image["video_id"]].append(image)
+            self.img_dir = img_dir
+
+    def __len__(self):
+        return len(self.images)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        img, anns, img_info, img_path = self._load_data(index)
+
+        height, width = img.shape[0], img.shape[1]
+        c = np.array([img.shape[1] / 2.0, img.shape[0] / 2.0], np.float32)
+        s = (max(img.shape[0], img.shape[1]) * 1.0
+             if not cfg.not_max_crop
+             else np.array([img.shape[1], img.shape[0]], np.float32))
+        aug_s, rot, flipped = 1, 0, 0
+        if self.split == "train":
+            c, aug_s, rot = self._get_aug_param(c, s, width, height)
+            s = s * aug_s
+            if np.random.random() < cfg.flip:
+                flipped = 1
+                img = img[:, ::-1, :]
+                anns = self._flip_anns(anns, width)
+
+        trans_input = get_affine_transform(
+            c, s, rot, [cfg.input_w, cfg.input_h])
+        trans_output = get_affine_transform(
+            c, s, rot, [cfg.output_w, cfg.output_h])
+        inp = self._get_input(img, trans_input)
+        ret = {"image": inp}
+
+        pre_cts, track_ids = None, None
+        if cfg.tracking:
+            pre_image, pre_anns, frame_dist = self._load_pre_data(
+                img_info["video_id"], img_info["frame_id"],
+                img_info.get("sensor_id", 1))
+            if flipped:
+                pre_image = pre_image[:, ::-1, :].copy()
+                pre_anns = self._flip_anns(pre_anns, width)
+            if cfg.same_aug_pre and frame_dist != 0:
+                trans_input_pre = trans_input
+                trans_output_pre = trans_output
+            else:
+                c_pre, aug_s_pre, _ = self._get_aug_param(
+                    c.copy(), s, width, height, disturb=True)
+                s_pre = s * aug_s_pre
+                trans_input_pre = get_affine_transform(
+                    c_pre, s_pre, rot, [cfg.input_w, cfg.input_h])
+                trans_output_pre = get_affine_transform(
+                    c_pre, s_pre, rot, [cfg.output_w, cfg.output_h])
+            pre_img = self._get_input(pre_image, trans_input_pre)
+            pre_splats, pre_cts, track_ids = self._get_pre_dets(
+                pre_anns, trans_input_pre, trans_output_pre)
+            ret["pre_img"] = pre_img
+            if cfg.pre_hm:
+                ret.update(pre_splats)
+
+        self._init_ret(ret)
+        calib = self._get_calib(img_info, width, height)
+
+        num_objs = min(len(anns), self.max_objs)
+        for k in range(num_objs):
+            ann = anns[k]
+            cls_id = int(self.cat_ids[ann["category_id"]])
+            if cls_id > cfg.num_classes or cls_id <= -999:
+                continue
+            bbox, bbox_amodal = self._get_bbox_output(
+                ann["bbox"], trans_output, height, width)
+            if cls_id <= 0 or ("iscrowd" in ann and ann["iscrowd"] > 0):
+                self._mask_ignore_or_crowd(ret, cls_id, bbox)
+                continue
+            self._add_instance(
+                ret, k, cls_id, bbox, bbox_amodal, ann, trans_output,
+                aug_s, calib, pre_cts, track_ids)
+
+        ret["meta_c"] = c.astype(np.float32)
+        ret["meta_s"] = np.array(
+            s if isinstance(s, np.ndarray) else [s, s], np.float32)
+        ret["calib"] = calib.astype(np.float32)
+        ret["image_id"] = np.int64(img_info["id"])
+        return ret
+
+    # ------------------------------------------------------------------
+    def _load_image_anns(self, img_id, coco, img_dir):
+        img_info = coco.loadImgs([img_id])[0]
+        img_path = os.path.join(img_dir, img_info["file_name"])
+        ann_ids = coco.getAnnIds(imgIds=[img_id])
+        import copy as _copy
+        anns = _copy.deepcopy(coco.loadAnns(ann_ids))
+        img = cv2.imread(img_path)
+        return img, anns, img_info, img_path
+
+    def _load_data(self, index):
+        img_id = self.images[index]
+        return self._load_image_anns(img_id, self.coco, self.img_dir)
+
+    def _load_pre_data(self, video_id, frame_id, sensor_id=1):
+        """Sample the 'previous' frame (reference:
+        generic_dataset.py:179-202): random nearby frame in training,
+        exact previous frame at test."""
+        img_infos = self.video_to_images[video_id]
+        if "train" in self.split:
+            img_ids = [(info["id"], info["frame_id"]) for info in img_infos
+                       if abs(info["frame_id"] - frame_id)
+                       < self.cfg.max_frame_dist and
+                       (("sensor_id" not in info) or
+                        info["sensor_id"] == sensor_id)]
+        else:
+            img_ids = [(info["id"], info["frame_id"]) for info in img_infos
+                       if (info["frame_id"] - frame_id) == -1 and
+                       (("sensor_id" not in info) or
+                        info["sensor_id"] == sensor_id)]
+            if len(img_ids) == 0:
+                img_ids = [(info["id"], info["frame_id"])
+                           for info in img_infos
+                           if (info["frame_id"] - frame_id) == 0 and
+                           (("sensor_id" not in info) or
+                            info["sensor_id"] == sensor_id)]
+        rand_id = np.random.choice(len(img_ids))
+        img_id, pre_frame_id = img_ids[rand_id]
+        frame_dist = abs(frame_id - pre_frame_id)
+        img, anns, _, _ = self._load_image_anns(img_id, self.coco,
+                                                self.img_dir)
+        return img, anns, frame_dist
+
+    def _get_pre_dets(self, anns, trans_input, trans_output):
+        """Previous-frame centers with simulated tracker noise
+        (reference: generic_dataset.py:205-255). Instead of rendering the
+        pre_hm here, emit splat descriptors for the on-device render.
+
+        Capacity: 2 * max_objs (each object may add one fp_disturb splat).
+        """
+        cfg = self.cfg
+        hm_h, hm_w = cfg.input_h, cfg.input_w
+        down_ratio = cfg.down_ratio
+        cap = 2 * self.max_objs
+        cts_int = np.zeros((cap, 2), np.int32)
+        radii = np.zeros((cap,), np.int32)
+        ks = np.zeros((cap,), np.float32)
+        valid = np.zeros((cap,), bool)
+        n = 0
+        pre_cts, track_ids = [], []
+        for ann in anns:
+            cls_id = int(self.cat_ids[ann["category_id"]])
+            if (cls_id > cfg.num_classes or cls_id <= -99 or
+                    ("iscrowd" in ann and ann["iscrowd"] > 0)):
+                continue
+            bbox = self._coco_box_to_bbox(ann["bbox"])
+            bbox[:2] = affine_transform(bbox[:2], trans_input)
+            bbox[2:] = affine_transform(bbox[2:], trans_input)
+            bbox[[0, 2]] = np.clip(bbox[[0, 2]], 0, hm_w - 1)
+            bbox[[1, 3]] = np.clip(bbox[[1, 3]], 0, hm_h - 1)
+            h, w = bbox[3] - bbox[1], bbox[2] - bbox[0]
+            if h > 0 and w > 0:
+                radius = gaussian_radius((math.ceil(h), math.ceil(w)))
+                radius = max(0, int(radius))
+                ct = np.array([(bbox[0] + bbox[2]) / 2,
+                               (bbox[1] + bbox[3]) / 2], np.float32)
+                ct0 = ct.copy()
+
+                ct[0] = ct[0] + np.random.randn() * cfg.hm_disturb * w
+                ct[1] = ct[1] + np.random.randn() * cfg.hm_disturb * h
+                conf = 1 if np.random.random() > cfg.lost_disturb else 0
+
+                ct_int = ct.astype(np.int32)
+                if conf == 0:
+                    pre_cts.append(ct / down_ratio)
+                else:
+                    pre_cts.append(ct0 / down_ratio)
+                track_ids.append(ann.get("track_id", -1))
+                if n < cap:
+                    cts_int[n] = ct_int
+                    radii[n] = radius
+                    ks[n] = conf
+                    valid[n] = True
+                    n += 1
+
+                if np.random.random() < cfg.fp_disturb and cfg.pre_hm:
+                    ct2 = ct0.copy()
+                    ct2[0] = ct2[0] + np.random.randn() * 0.05 * w
+                    ct2[1] = ct2[1] + np.random.randn() * 0.05 * h
+                    if n < cap:
+                        cts_int[n] = ct2.astype(np.int32)
+                        radii[n] = radius
+                        ks[n] = conf
+                        valid[n] = True
+                        n += 1
+        splats = {"pre_cts_int": cts_int, "pre_radii": radii,
+                  "pre_ks": ks, "pre_valid": valid}
+        return splats, pre_cts, track_ids
+
+    def _get_border(self, border, size):
+        i = 1
+        while size - border // i <= border // i:
+            i *= 2
+        return border // i
+
+    def _get_aug_param(self, c, s, width, height, disturb=False):
+        """(reference: generic_dataset.py:264-286)"""
+        cfg = self.cfg
+        if (not cfg.not_rand_crop) and not disturb:
+            aug_s = np.random.choice(np.arange(0.6, 1.4, 0.1))
+            w_border = self._get_border(128, width)
+            h_border = self._get_border(128, height)
+            c[0] = np.random.randint(low=w_border, high=width - w_border)
+            c[1] = np.random.randint(low=h_border, high=height - h_border)
+        else:
+            # Shift/scale jitter. The reference's own code here
+            # (generic_dataset.py:272-278) trips a list*float type bug when
+            # s is scalar; this is the intended semantics.
+            sf = cfg.scale
+            cf = cfg.shift
+            s_arr = (np.array([s, s], np.float32)
+                     if np.isscalar(s) else np.asarray(s, np.float32))
+            c[0] += s_arr[0] * np.clip(
+                np.random.randn() * cf, -2 * cf, 2 * cf)
+            c[1] += s_arr[1] * np.clip(
+                np.random.randn() * cf, -2 * cf, 2 * cf)
+            aug_s = np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
+        if np.random.random() < cfg.aug_rot:
+            rf = cfg.rotate
+            rot = np.clip(np.random.randn() * rf, -rf * 2, rf * 2)
+        else:
+            rot = 0
+        return c, aug_s, rot
+
+    def _flip_anns(self, anns, width):
+        """(reference: generic_dataset.py:289-314)"""
+        heads = self.cfg.heads_dict
+        for k in range(len(anns)):
+            bbox = anns[k]["bbox"]
+            anns[k]["bbox"] = [
+                width - bbox[0] - 1 - bbox[2], bbox[1], bbox[2], bbox[3]]
+            if "hps" in heads and "keypoints" in anns[k]:
+                keypoints = np.array(
+                    anns[k]["keypoints"], np.float32).reshape(
+                    self.num_joints, 3)
+                keypoints[:, 0] = width - keypoints[:, 0] - 1
+                for e in self.flip_idx:
+                    keypoints[e[0]], keypoints[e[1]] = \
+                        keypoints[e[1]].copy(), keypoints[e[0]].copy()
+                anns[k]["keypoints"] = keypoints.reshape(-1).tolist()
+            if "rot" in heads and "alpha" in anns[k]:
+                anns[k]["alpha"] = (np.pi - anns[k]["alpha"]
+                                    if anns[k]["alpha"] > 0
+                                    else -np.pi - anns[k]["alpha"])
+            if "amodel_offset" in heads and "amodel_center" in anns[k]:
+                anns[k]["amodel_center"][0] = \
+                    width - anns[k]["amodel_center"][0] - 1
+            if self.cfg.velocity and "velocity" in anns[k]:
+                anns[k]["velocity"] = [-10000, -10000, -10000]
+        return anns
+
+    def _get_input(self, img, trans_input):
+        """(reference: generic_dataset.py:317-327). HWC float32 output."""
+        cfg = self.cfg
+        inp = cv2.warpAffine(img, trans_input.astype(np.float32),
+                             (cfg.input_w, cfg.input_h),
+                             flags=cv2.INTER_LINEAR)
+        inp = inp.astype(np.float32) / 255.0
+        if self.split == "train" and not cfg.no_color_aug:
+            color_aug(self._data_rng, inp, self._eig_val, self._eig_vec)
+        inp = (inp - self.mean) / self.std
+        return inp
+
+    # ------------------------------------------------------------------
+    def _init_ret(self, ret):
+        """Allocate fixed-capacity targets
+        (reference: generic_dataset.py:330-369) plus splat descriptors
+        for the on-device heatmap render."""
+        cfg = self.cfg
+        heads = cfg.heads_dict
+        max_objs = self.max_objs * cfg.dense_reg
+        ret["ind"] = np.zeros((max_objs,), np.int64)
+        ret["cat"] = np.zeros((max_objs,), np.int64)
+        ret["mask"] = np.zeros((max_objs,), np.float32)
+        # splat descriptors for 'hm'
+        ret["hm_cts"] = np.zeros((max_objs, 2), np.int32)
+        ret["hm_radii"] = np.zeros((max_objs,), np.int32)
+        ret["hm_valid"] = np.zeros((max_objs,), bool)
+        # rectangular ignore/crowd regions; cat == -1 -> all classes
+        ret["ignore_boxes"] = np.zeros((self.max_ignore_regions, 4),
+                                       np.float32)
+        ret["ignore_cat"] = np.zeros((self.max_ignore_regions,), np.int32)
+        ret["ignore_valid"] = np.zeros((self.max_ignore_regions,), bool)
+        self._num_ignore = 0
+
+        regression_head_dims = {
+            "reg": 2, "wh": 2, "tracking": 2, "ltrb": 4, "ltrb_amodal": 4,
+            "nuscenes_att": 8, "velocity": 3, "hps": self.num_joints * 2,
+            "dep": 1, "dim": 3, "amodel_offset": 2}
+        for head in regression_head_dims:
+            if head in heads:
+                ret[head] = np.zeros(
+                    (max_objs, regression_head_dims[head]), np.float32)
+                ret[head + "_mask"] = np.zeros(
+                    (max_objs, regression_head_dims[head]), np.float32)
+
+        if "hm_hp" in heads:
+            num_joints = self.num_joints
+            ret["hm_hp_cts"] = np.zeros((max_objs * num_joints, 2), np.int32)
+            ret["hm_hp_radii"] = np.zeros((max_objs * num_joints,), np.int32)
+            ret["hm_hp_joint"] = np.zeros((max_objs * num_joints,), np.int32)
+            ret["hm_hp_splat_valid"] = np.zeros((max_objs * num_joints,),
+                                                bool)
+            # visible-but-unlabeled points force hm_hp[pt] = 1 (ignore_val)
+            ret["hm_hp_point_ignore"] = np.zeros((max_objs * num_joints, 2),
+                                                 np.int32)
+            ret["hm_hp_point_ignore_joint"] = np.zeros(
+                (max_objs * num_joints,), np.int32)
+            ret["hm_hp_point_ignore_valid"] = np.zeros(
+                (max_objs * num_joints,), bool)
+            ret["hm_hp_ignore_boxes"] = np.zeros(
+                (self.max_ignore_regions, 4), np.float32)
+            ret["hm_hp_ignore_joint"] = np.zeros(
+                (self.max_ignore_regions,), np.int32)
+            ret["hm_hp_ignore_valid"] = np.zeros(
+                (self.max_ignore_regions,), bool)
+            self._num_hp_ignore = 0
+            ret["hm_hp_mask"] = np.zeros((max_objs * num_joints,),
+                                         np.float32)
+            ret["hp_offset"] = np.zeros((max_objs * num_joints, 2),
+                                        np.float32)
+            ret["hp_ind"] = np.zeros((max_objs * num_joints,), np.int64)
+            ret["hp_offset_mask"] = np.zeros((max_objs * num_joints, 2),
+                                             np.float32)
+            ret["joint"] = np.zeros((max_objs * num_joints,), np.int64)
+
+        if "rot" in heads:
+            ret["rotbin"] = np.zeros((max_objs, 2), np.int64)
+            ret["rotres"] = np.zeros((max_objs, 2), np.float32)
+            ret["rot_mask"] = np.zeros((max_objs,), np.float32)
+
+    def _get_calib(self, img_info, width, height):
+        if "calib" in img_info:
+            return np.array(img_info["calib"], np.float32)
+        return np.array([[self.rest_focal_length, 0, width / 2, 0],
+                         [0, self.rest_focal_length, height / 2, 0],
+                         [0, 0, 1, 0]], np.float32)
+
+    def _mask_ignore_or_crowd(self, ret, cls_id, bbox):
+        """Record a rectangular ignore region
+        (reference: generic_dataset.py:386-398 writes hm=1 directly; we
+        record the rect for the device render)."""
+        if self._num_ignore >= self.max_ignore_regions:
+            return
+        i = self._num_ignore
+        ret["ignore_boxes"][i] = bbox
+        ret["ignore_cat"][i] = -1 if cls_id == 0 else abs(cls_id) - 1
+        ret["ignore_valid"][i] = True
+        self._num_ignore += 1
+        if "hm_hp_ignore_boxes" in ret and cls_id <= 1:
+            if self._num_hp_ignore < self.max_ignore_regions:
+                j = self._num_hp_ignore
+                ret["hm_hp_ignore_boxes"][j] = bbox
+                ret["hm_hp_ignore_joint"][j] = -1
+                ret["hm_hp_ignore_valid"][j] = True
+                self._num_hp_ignore += 1
+
+    def _coco_box_to_bbox(self, box):
+        return np.array([box[0], box[1], box[0] + box[2], box[1] + box[3]],
+                        np.float32)
+
+    def _get_bbox_output(self, bbox, trans_output, height, width):
+        """(reference: generic_dataset.py:407-421)"""
+        cfg = self.cfg
+        bbox = self._coco_box_to_bbox(bbox).copy()
+        rect = np.array([[bbox[0], bbox[1]], [bbox[0], bbox[3]],
+                         [bbox[2], bbox[3]], [bbox[2], bbox[1]]], np.float32)
+        for t in range(4):
+            rect[t] = affine_transform(rect[t], trans_output)
+        bbox[:2] = rect[:, 0].min(), rect[:, 1].min()
+        bbox[2:] = rect[:, 0].max(), rect[:, 1].max()
+        bbox_amodal = bbox.copy()
+        bbox[[0, 2]] = np.clip(bbox[[0, 2]], 0, cfg.output_w - 1)
+        bbox[[1, 3]] = np.clip(bbox[[1, 3]], 0, cfg.output_h - 1)
+        return bbox, bbox_amodal
+
+    def _add_instance(self, ret, k, cls_id, bbox, bbox_amodal, ann,
+                      trans_output, aug_s, calib, pre_cts=None,
+                      track_ids=None):
+        """(reference: generic_dataset.py:423-515)"""
+        cfg = self.cfg
+        heads = cfg.heads_dict
+        h, w = bbox[3] - bbox[1], bbox[2] - bbox[0]
+        if h <= 0 or w <= 0:
+            return
+        radius = gaussian_radius((math.ceil(h), math.ceil(w)))
+        radius = max(0, int(radius))
+        ct = np.array([(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2],
+                      np.float32)
+        ct_int = ct.astype(np.int32)
+        ret["cat"][k] = cls_id - 1
+        ret["mask"][k] = 1
+        if "wh" in ret:
+            ret["wh"][k] = 1.0 * w, 1.0 * h
+            ret["wh_mask"][k] = 1
+        ret["ind"][k] = ct_int[1] * cfg.output_w + ct_int[0]
+        ret["reg"][k] = ct - ct_int
+        ret["reg_mask"][k] = 1
+        ret["hm_cts"][k] = ct_int
+        ret["hm_radii"][k] = radius
+        ret["hm_valid"][k] = True
+
+        if "tracking" in heads:
+            if ann.get("track_id") in (track_ids or []):
+                pre_ct = pre_cts[track_ids.index(ann["track_id"])]
+                ret["tracking_mask"][k] = 1
+                ret["tracking"][k] = pre_ct - ct_int
+
+        if "ltrb" in heads:
+            ret["ltrb"][k] = (bbox[0] - ct_int[0], bbox[1] - ct_int[1],
+                              bbox[2] - ct_int[0], bbox[3] - ct_int[1])
+            ret["ltrb_mask"][k] = 1
+
+        if "ltrb_amodal" in heads:
+            ret["ltrb_amodal"][k] = (
+                bbox_amodal[0] - ct_int[0], bbox_amodal[1] - ct_int[1],
+                bbox_amodal[2] - ct_int[0], bbox_amodal[3] - ct_int[1])
+            ret["ltrb_amodal_mask"][k] = 1
+
+        if "nuscenes_att" in heads:
+            if ("attributes" in ann) and ann["attributes"] > 0:
+                att = int(ann["attributes"] - 1)
+                ret["nuscenes_att"][k][att] = 1
+                ret["nuscenes_att_mask"][k][
+                    self.nuscenes_att_range[att]] = 1
+
+        if "velocity" in heads:
+            if ("velocity" in ann) and min(ann["velocity"]) > -1000:
+                ret["velocity"][k] = np.array(
+                    ann["velocity"], np.float32)[:3]
+                ret["velocity_mask"][k] = 1
+
+        if "hps" in heads:
+            self._add_hps(ret, k, ann, trans_output, ct_int, bbox, h, w)
+
+        if "rot" in heads:
+            self._add_rot(ret, ann, k)
+
+        if "dep" in heads:
+            if "depth" in ann:
+                ret["dep_mask"][k] = 1
+                ret["dep"][k] = ann["depth"] * aug_s
+
+        if "dim" in heads:
+            if "dim" in ann:
+                ret["dim_mask"][k] = 1
+                ret["dim"][k] = ann["dim"]
+
+        if "amodel_offset" in heads:
+            if "amodel_center" in ann:
+                amodel_center = affine_transform(
+                    ann["amodel_center"], trans_output)
+                ret["amodel_offset_mask"][k] = 1
+                ret["amodel_offset"][k] = amodel_center - ct_int
+
+    def _add_hps(self, ret, k, ann, trans_output, ct_int, bbox, h, w):
+        """(reference: generic_dataset.py:517-554)"""
+        cfg = self.cfg
+        num_joints = self.num_joints
+        pts = (np.array(ann["keypoints"], np.float32).reshape(num_joints, 3)
+               if "keypoints" in ann
+               else np.zeros((num_joints, 3), np.float32))
+        hp_radius = gaussian_radius((math.ceil(h), math.ceil(w)))
+        hp_radius = max(0, int(hp_radius))
+        for j in range(num_joints):
+            idx = k * num_joints + j
+            pts[j, :2] = affine_transform(pts[j, :2], trans_output)
+            if pts[j, 2] > 0:
+                if (0 <= pts[j, 0] < cfg.output_w and
+                        0 <= pts[j, 1] < cfg.output_h):
+                    ret["hps"][k, j * 2: j * 2 + 2] = pts[j, :2] - ct_int
+                    ret["hps_mask"][k, j * 2: j * 2 + 2] = 1
+                    pt_int = pts[j, :2].astype(np.int32)
+                    ret["hp_offset"][idx] = pts[j, :2] - pt_int
+                    ret["hp_ind"][idx] = (pt_int[1] * cfg.output_w
+                                          + pt_int[0])
+                    ret["hp_offset_mask"][idx] = 1
+                    ret["hm_hp_mask"][idx] = 1
+                    ret["joint"][idx] = j
+                    ret["hm_hp_cts"][idx] = pt_int
+                    ret["hm_hp_radii"][idx] = hp_radius
+                    ret["hm_hp_joint"][idx] = j
+                    ret["hm_hp_splat_valid"][idx] = True
+                    if pts[j, 2] == 1:
+                        # labeled-invisible: peak forced to ignore_val and
+                        # excluded from the loss (reference :543-546)
+                        ret["hm_hp_point_ignore"][idx] = pt_int
+                        ret["hm_hp_point_ignore_joint"][idx] = j
+                        ret["hm_hp_point_ignore_valid"][idx] = True
+                        ret["hp_offset_mask"][idx] = 0
+                        ret["hm_hp_mask"][idx] = 0
+                else:
+                    pts[j, :2] *= 0
+            else:
+                pts[j, :2] *= 0
+                if self._num_hp_ignore < self.max_ignore_regions:
+                    i = self._num_hp_ignore
+                    ret["hm_hp_ignore_boxes"][i] = bbox
+                    ret["hm_hp_ignore_joint"][i] = j
+                    ret["hm_hp_ignore_valid"][i] = True
+                    self._num_hp_ignore += 1
+
+    def _add_rot(self, ret, ann, k):
+        """(reference: generic_dataset.py:556-568)"""
+        if "alpha" in ann:
+            ret["rot_mask"][k] = 1
+            alpha = ann["alpha"]
+            if alpha < np.pi / 6.0 or alpha > 5 * np.pi / 6.0:
+                ret["rotbin"][k, 0] = 1
+                ret["rotres"][k, 0] = alpha - (-0.5 * np.pi)
+            if alpha > -np.pi / 6.0 or alpha < -5 * np.pi / 6.0:
+                ret["rotbin"][k, 1] = 1
+                ret["rotres"][k, 1] = alpha - (0.5 * np.pi)
+
+    def fake_video_data(self):
+        """Fabricate video/track ids for still-image datasets
+        (reference: generic_dataset.py:595-607)."""
+        self.coco.dataset["videos"] = []
+        for i in range(len(self.coco.dataset["images"])):
+            img_id = self.coco.dataset["images"][i]["id"]
+            self.coco.dataset["images"][i]["video_id"] = img_id
+            self.coco.dataset["images"][i]["frame_id"] = 1
+            self.coco.dataset["videos"].append({"id": img_id})
+        if "annotations" not in self.coco.dataset:
+            return
+        for i in range(len(self.coco.dataset["annotations"])):
+            self.coco.dataset["annotations"][i]["track_id"] = i + 1

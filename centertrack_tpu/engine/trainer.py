@@ -1,0 +1,172 @@
+"""Training runtime (reference: src/lib/trainer.py + src/main.py).
+
+One jitted, mesh-sharded program per optimization step:
+  render GT heatmaps from splat descriptors (data/render.py)
+  -> forward (train mode, BN stats mutable)
+  -> GenericLoss (ops/losses.py)
+  -> grads -> optax update
+Batch is sharded over the 'data' mesh axis, params replicated; the
+gradient all-reduce is inserted by the compiler (the reference's
+DataParallel scatter/gather analogue, data_parallel.py:64-128).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from centertrack_tpu.data.render import render_batch
+from centertrack_tpu.ops.losses import generic_loss
+from centertrack_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicated, shard_batch)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_lr_schedule(cfg):
+    """Step decay x0.1 at each epoch in lr_step
+    (reference: main.py:92-96). Returns epoch -> lr."""
+    def lr_for_epoch(epoch: int) -> float:
+        lr = cfg.lr
+        for e in cfg.lr_step:
+            if epoch >= e:
+                lr *= 0.1
+        return lr
+    return lr_for_epoch
+
+
+def make_optimizer(cfg):
+    """(reference: main.py:17-26; torch Adam defaults)"""
+    if cfg.optim == "adam":
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.lr)
+    elif cfg.optim == "sgd":
+        return optax.inject_hyperparams(
+            functools.partial(optax.sgd, momentum=0.9))(
+            learning_rate=cfg.lr)
+    raise ValueError(cfg.optim)
+
+
+class Trainer:
+    """(reference: trainer.py:102-317)"""
+
+    def __init__(self, cfg, model, params, batch_stats, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh if mesh is not None else make_mesh(
+            max(1, min(cfg.num_devices, len(jax.devices()))))
+        self.tx = make_optimizer(cfg)
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params, batch_stats, opt_state,
+                                jnp.zeros((), jnp.int32))
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.lr_for_epoch = make_lr_schedule(cfg)
+        self._train_step = self._build_train_step()
+        self._val_step = self._build_val_step()
+        self.loss_order = [k for k in
+                           ["hm", "wh", "reg", "ltrb", "hps", "hm_hp",
+                            "hp_offset", "dep", "dim", "rot",
+                            "amodel_offset", "ltrb_amodal", "tracking",
+                            "nuscenes_att", "velocity"]
+                           if k in cfg.heads_dict]
+
+    # ------------------------------------------------------------------
+    def _forward_loss(self, params, batch_stats, batch, train: bool):
+        cfg = self.cfg
+        rendered = render_batch(batch, cfg)
+        pre_img = rendered.get("pre_img") if cfg.pre_img else None
+        pre_hm = rendered.get("pre_hm") if cfg.pre_hm else None
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            outputs, mutated = self.model.apply(
+                variables, rendered["image"], pre_img, pre_hm,
+                train=True, mutable=["batch_stats"])
+            new_bs = mutated["batch_stats"]
+        else:
+            outputs = self.model.apply(
+                variables, rendered["image"], pre_img, pre_hm, train=False)
+            new_bs = batch_stats
+        total, losses = generic_loss(
+            outputs, rendered, cfg.heads_dict, cfg.weights_dict,
+            cfg.num_stacks)
+        return total, (losses, new_bs)
+
+    def _build_train_step(self):
+        tx = self.tx
+
+        def step(state: TrainState, batch, lr):
+            grad_fn = jax.value_and_grad(
+                lambda p: self._forward_loss(
+                    p, state.batch_stats, batch, True), has_aux=True)
+            (total, (losses, new_bs)), grads = grad_fn(state.params)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt = tx.update(grads, opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(new_params, new_bs, new_opt,
+                                   state.step + 1)
+            return new_state, losses
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_val_step(self):
+        def step(state: TrainState, batch):
+            _, (losses, _) = self._forward_loss(
+                state.params, state.batch_stats, batch, False)
+            return losses
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, phase: str, epoch: int, loader,
+                  num_iters: int = -1, log_every: int = 20):
+        cfg = self.cfg
+        lr = self.lr_for_epoch(epoch)
+        agg = {}
+        n = 0
+        t0 = time.time()
+        data_t, step_t = 0.0, 0.0
+        t_prev = time.time()
+        for it, batch in enumerate(loader):
+            if num_iters > 0 and it >= num_iters:
+                break
+            batch = shard_batch(batch, self.mesh)
+            data_t += time.time() - t_prev
+            ts = time.time()
+            if phase == "train":
+                self.state, losses = self._train_step(
+                    self.state, batch, lr)
+            else:
+                losses = self._val_step(self.state, batch)
+            losses = {k: float(v) for k, v in losses.items()}
+            step_t += time.time() - ts
+            for k, v in losses.items():
+                agg[k] = agg.get(k, 0.0) + v
+            n += 1
+            if log_every and it % log_every == 0:
+                msg = f"{phase} e{epoch} it{it}"
+                for k in ["tot"] + self.loss_order:
+                    if k in losses:
+                        msg += f" | {k} {agg[k] / n:.4f}"
+                msg += (f" | data {data_t / n:.3f}s step {step_t / n:.3f}s")
+                print(msg)
+            t_prev = time.time()
+        ret = {k: v / max(n, 1) for k, v in agg.items()}
+        ret["time"] = (time.time() - t0) / 60.0
+        return ret
+
+    def train(self, epoch: int, loader, num_iters: int = -1):
+        return self.run_epoch("train", epoch, loader, num_iters)
+
+    def val(self, epoch: int, loader, num_iters: int = -1):
+        return self.run_epoch("val", epoch, loader, num_iters)

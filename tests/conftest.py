@@ -15,5 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 # Cheap compiles: model-shape tests spend almost all wall-clock in XLA CPU
 # optimization passes otherwise.
 os.environ.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "true")
+# Persistent compilation cache: repeated pytest runs skip XLA recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+from centertrack_tpu.config import Config, parse_task, set_heads
+from centertrack_tpu.engine.detector import Detector
+
+
+class TinyMeta:
+    num_categories = 1
+    default_resolution = [64, 96]
+    num_joints = 17
+    rest_focal_length = 1200
+    flip_idx = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10],
+                [11, 12], [13, 14], [15, 16]]
+    mean = np.array([0.40789654, 0.44719302, 0.47026115], np.float32)
+    std = np.array([0.28863828, 0.27408164, 0.27809835], np.float32)
+
+
+def make_detector(**kw):
+    kw.setdefault("dla_node", "conv")
+    kw.setdefault("K", 10)
+    cfg = Config(task="tracking", pre_hm=True, track_thresh=0.001,
+                 new_thresh=0.001, max_age=3, **kw)
+    cfg = parse_task(cfg)
+    cfg = set_heads(cfg, TinyMeta)
+    return Detector(cfg, dataset_meta=TinyMeta), cfg
+
+
+@pytest.fixture(scope="module")
+def detector_and_cfg():
+    return make_detector()
+
+
+def _frame(seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 255, (48, 80, 3), np.uint8)
+
+
+def test_run_three_frames(detector_and_cfg):
+    det, cfg = detector_and_cfg
+    det.reset_tracking()
+    r1 = det.run(_frame(0))
+    assert "results" in r1
+    assert det.pre_images is not None
+    for item in r1["results"]:
+        assert {"score", "class", "ct", "bbox", "tracking",
+                "tracking_id"} <= set(item)
+        # image coords: within the raw 80x48 frame (center/scale warp)
+        assert -100 < item["ct"][0] < 200
+
+    r2 = det.run(_frame(1))
+    ids1 = {t["tracking_id"] for t in r1["results"]}
+    ids2 = {t["tracking_id"] for t in r2["results"]}
+    assert ids2  # tracker produced ids
+    # ids are assigned contiguously from 1
+    assert min(ids1) == 1
+
+    r3 = det.run(_frame(0))
+    assert det.cnt == 3
+
+
+def test_reset_tracking(detector_and_cfg):
+    det, cfg = detector_and_cfg
+    det.run(_frame(2))
+    assert len(det.tracker.tracks) > 0
+    det.reset_tracking()
+    assert det.tracker.tracks == [] and det.pre_images is None
+    assert det.tracker.id_count == 0
