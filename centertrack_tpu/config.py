@@ -90,6 +90,8 @@ class Config:
     K: int = 100
     fix_short: int = -1
     keep_res: bool = False
+    trainval: bool = False
+    kitti_split: str = "3dop"
     out_thresh: float = -1.0
     depth_scale: float = 1.0
     test_focal_length: int = -1

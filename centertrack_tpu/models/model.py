@@ -31,6 +31,9 @@ class CenterTrackNet(nn.Module):
     head_kernel: int = 3
     prior_bias: float = -4.6
     dla_node: str = "dcn"
+    backbone: str = "dla34"
+    neck: str = "dlaup"
+    msra_outchannel: int = 256
     with_pre_img: bool = False
     with_pre_hm: bool = False
 
@@ -40,6 +43,12 @@ class CenterTrackNet(nn.Module):
             backbone = DLASeg(self.num_layers, dla_node=self.dla_node,
                               with_pre_img=self.with_pre_img,
                               with_pre_hm=self.with_pre_hm, name="backbone")
+        elif self.arch == "dlav0":
+            from centertrack_tpu.models.dlav0 import DLASegV0
+            backbone = DLASegV0(self.num_layers,
+                                with_pre_img=self.with_pre_img,
+                                with_pre_hm=self.with_pre_hm,
+                                name="backbone")
         elif self.arch == "res":
             backbone = PoseResNet(self.num_layers,
                                   with_pre_img=self.with_pre_img,
@@ -53,6 +62,10 @@ class CenterTrackNet(nn.Module):
         elif self.arch == "generic":
             from centertrack_tpu.models.generic import GenericNetwork
             backbone = GenericNetwork(self.num_layers,
+                                      backbone=self.backbone,
+                                      neck=self.neck,
+                                      dla_node=self.dla_node,
+                                      msra_outchannel=self.msra_outchannel,
                                       with_pre_img=self.with_pre_img,
                                       with_pre_hm=self.with_pre_hm,
                                       name="backbone")
@@ -74,6 +87,9 @@ def create_model(arch: str, heads: Dict[str, int],
     if cfg is not None:
         kwargs = dict(
             dla_node=cfg.dla_node,
+            backbone=cfg.backbone,
+            neck=cfg.neck,
+            msra_outchannel=cfg.msra_outchannel,
             with_pre_img=cfg.pre_img,
             with_pre_hm=cfg.pre_hm,
             head_kernel=cfg.head_kernel,
