@@ -28,15 +28,16 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, residual=None, train: bool = False):
         if residual is None:
             residual = x
         out = ConvBNAct(self.planes, 3, self.stride, self.dilation,
-                        act=True, name="conv1")(x, train)
+                        act=True, dtype=self.dtype, name="conv1")(x, train)
         out = ConvBNAct(self.planes, 3, 1, self.dilation,
-                        act=False, name="conv2")(out, train)
+                        act=False, dtype=self.dtype, name="conv2")(out, train)
         return nn.relu(out + residual)
 
 
@@ -46,16 +47,18 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     expansion: int = 2
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, residual=None, train: bool = False):
         if residual is None:
             residual = x
         bottle = self.planes // self.expansion
-        out = ConvBNAct(bottle, 1, 1, act=True, name="conv1")(x, train)
+        out = ConvBNAct(bottle, 1, 1, act=True, dtype=self.dtype, name="conv1")(x, train)
         out = ConvBNAct(bottle, 3, self.stride, self.dilation, act=True,
-                        name="conv2")(out, train)
-        out = ConvBNAct(self.planes, 1, 1, act=False, name="conv3")(out, train)
+                        dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBNAct(self.planes, 1, 1, act=False, dtype=self.dtype,
+                        name="conv3")(out, train)
         return nn.relu(out + residual)
 
 
@@ -65,16 +68,19 @@ class BottleneckX(nn.Module):
     stride: int = 1
     dilation: int = 1
     cardinality: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, residual=None, train: bool = False):
         if residual is None:
             residual = x
         bottle = self.planes * self.cardinality // 32
-        out = ConvBNAct(bottle, 1, 1, act=True, name="conv1")(x, train)
+        out = ConvBNAct(bottle, 1, 1, act=True, dtype=self.dtype, name="conv1")(x, train)
         out = ConvBNAct(bottle, 3, self.stride, self.dilation, act=True,
-                        groups=self.cardinality, name="conv2")(out, train)
-        out = ConvBNAct(self.planes, 1, 1, act=False, name="conv3")(out, train)
+                        groups=self.cardinality, dtype=self.dtype,
+                        name="conv2")(out, train)
+        out = ConvBNAct(self.planes, 1, 1, act=False, dtype=self.dtype,
+                        name="conv3")(out, train)
         return nn.relu(out + residual)
 
 
@@ -87,11 +93,13 @@ class Root(nn.Module):
     (reference: dla.py:154-172)"""
     features: int
     residual: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, children: Sequence[jnp.ndarray], train: bool = False):
         x = jnp.concatenate(children, axis=-1)
-        x = ConvBNAct(self.features, 1, 1, act=False, name="conv")(x, train)
+        x = ConvBNAct(self.features, 1, 1, act=False, dtype=self.dtype,
+                       name="conv")(x, train)
         if self.residual:
             x = x + children[0]
         return nn.relu(x)
@@ -107,6 +115,7 @@ class Tree(nn.Module):
     level_root: bool = False
     root_residual: bool = False
     dilation: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, children=None, train: bool = False):
@@ -118,7 +127,7 @@ class Tree(nn.Module):
             strides=(self.stride, self.stride)) if self.stride > 1 else x
         if self.in_channels != self.out_channels:
             residual = ConvBNAct(self.out_channels, 1, 1, act=False,
-                                 name="project")(bottom, train)
+                                 dtype=self.dtype, name="project")(bottom, train)
         else:
             residual = bottom
         if self.level_root:
@@ -126,22 +135,25 @@ class Tree(nn.Module):
 
         if self.levels == 1:
             x1 = block_cls(self.out_channels, self.stride,
-                           self.dilation, name="tree1")(
+                           self.dilation, dtype=self.dtype, name="tree1")(
                 x, residual, train=train)
             x2 = block_cls(self.out_channels, 1, self.dilation,
-                           name="tree2")(x1, train=train)
-            out = Root(self.out_channels, self.root_residual, name="root")(
+                           dtype=self.dtype, name="tree2")(x1, train=train)
+            out = Root(self.out_channels, self.root_residual, dtype=self.dtype,
+                       name="root")(
                 [x2, x1] + children, train)
         else:
             x1 = Tree(self.levels - 1, self.block, self.in_channels,
                       self.out_channels, self.stride,
                       root_residual=self.root_residual,
-                      dilation=self.dilation, name="tree1")(x, train=train)
+                      dilation=self.dilation, dtype=self.dtype,
+                      name="tree1")(x, train=train)
             children.append(x1)
             out = Tree(self.levels - 1, self.block, self.out_channels,
                        self.out_channels, 1,
                        root_residual=self.root_residual,
-                       dilation=self.dilation, name="tree2")(
+                       dilation=self.dilation, dtype=self.dtype,
+                       name="tree2")(
                 x1, children=children, train=train)
         return out
 
@@ -155,22 +167,24 @@ class DLA(nn.Module):
     residual_root: bool = False
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: object = None
 
     def _conv_level(self, x, features, convs, stride, name, train):
         for i in range(convs):
             x = ConvBNAct(features, 3, stride if i == 0 else 1, act=True,
-                          name=f"{name}_{i}")(x, train)
+                          dtype=self.dtype, name=f"{name}_{i}")(x, train)
         return x
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         ch = self.channels
-        x = ConvBNAct(ch[0], 7, 1, act=True, name="base_layer")(x, train)
+        x = ConvBNAct(ch[0], 7, 1, act=True, dtype=self.dtype,
+                      name="base_layer")(x, train)
         if pre_img is not None and self.with_pre_img:
-            x = x + ConvBNAct(ch[0], 7, 1, act=True,
+            x = x + ConvBNAct(ch[0], 7, 1, act=True, dtype=self.dtype,
                               name="pre_img_layer")(pre_img, train)
         if pre_hm is not None and self.with_pre_hm:
-            x = x + ConvBNAct(ch[0], 7, 1, act=True,
+            x = x + ConvBNAct(ch[0], 7, 1, act=True, dtype=self.dtype,
                               name="pre_hm_layer")(pre_hm, train)
         y = []
         x = self._conv_level(x, ch[0], self.levels[0], 1, "level0", train)
@@ -179,19 +193,19 @@ class DLA(nn.Module):
         y.append(x)
         x = Tree(self.levels[2], self.block, ch[1], ch[2], 2,
                  level_root=False, root_residual=self.residual_root,
-                 name="level2")(x, train=train)
+                 dtype=self.dtype, name="level2")(x, train=train)
         y.append(x)
         x = Tree(self.levels[3], self.block, ch[2], ch[3], 2,
                  level_root=True, root_residual=self.residual_root,
-                 name="level3")(x, train=train)
+                 dtype=self.dtype, name="level3")(x, train=train)
         y.append(x)
         x = Tree(self.levels[4], self.block, ch[3], ch[4], 2,
                  level_root=True, root_residual=self.residual_root,
-                 name="level4")(x, train=train)
+                 dtype=self.dtype, name="level4")(x, train=train)
         y.append(x)
         x = Tree(self.levels[5], self.block, ch[4], ch[5], 2,
                  level_root=True, root_residual=self.residual_root,
-                 name="level5")(x, train=train)
+                 dtype=self.dtype, name="level5")(x, train=train)
         y.append(x)
         return y
 
@@ -208,21 +222,29 @@ DLA_CONFIGS = {
 class ConvNode(nn.Module):
     """'conv' node: 1x1 conv + BN + ReLU (reference: dla.py:466-475)."""
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return ConvBNAct(self.features, 1, 1, act=True, name="conv")(x, train)
+        return ConvBNAct(self.features, 1, 1, act=True, dtype=self.dtype,
+                         name="conv")(x, train)
 
 
 class DeformNode(nn.Module):
-    """'dcn' node: DCN 3x3 + BN + ReLU (reference: dla.py:506-518)."""
+    """'dcn' node: DCN 3x3 + BN + ReLU (reference: dla.py:506-518).
+    mode='local' selects the gather-free clamped-offset op
+    (ops/dcn.deform_conv2d_local)."""
     features: int
+    dtype: object = None
+    mode: str = "gather"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCNLayer(self.features, 3, name="conv")(x)
+        x = DCNLayer(self.features, 3, dtype=self.dtype, mode=self.mode,
+                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="actf_bn")(x)
+                         epsilon=1e-5, dtype=self.dtype,
+                         name="actf_bn")(x)
         return nn.relu(x)
 
 
@@ -230,6 +252,7 @@ class GlobalConvNode(nn.Module):
     """'gcn' node: large separable kernels (reference: dla.py:478-503)."""
     features: int
     k: int = 7
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -244,14 +267,21 @@ class GlobalConvNode(nn.Module):
                      use_bias=False, name="gcr_1")(gr)
         out = gl + gr
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name="act_bn")(out)
+                           epsilon=1e-5, dtype=self.dtype,
+                           name="act_bn")(out)
         return nn.relu(out)
 
 
+import functools
+
+
 def node_types(dla_node: str):
-    """(reference: DLA_NODE, dla.py:588-592)"""
+    """(reference: DLA_NODE, dla.py:588-592; 'dcn_local' is this
+    repo's gather-free TPU fast path)"""
+    local = functools.partial(DeformNode, mode="local")
     return {
         "dcn": (DeformNode, DeformNode),
+        "dcn_local": (local, local),
         "gcn": (ConvNode, GlobalConvNode),
         "conv": (ConvNode, ConvNode),
     }[dla_node]
@@ -264,6 +294,7 @@ class IDAUp(nn.Module):
     out_channels: int
     up_factors: Tuple[int, ...]  # per input level, relative to level 0
     node: str = "dcn"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
@@ -271,11 +302,14 @@ class IDAUp(nn.Module):
         layers = list(layers)
         for i in range(1, len(layers)):
             f = int(self.up_factors[i])
-            x = proj_cls(self.out_channels, name=f"proj_{i}")(
+            x = proj_cls(self.out_channels, dtype=self.dtype,
+                         name=f"proj_{i}")(
                 layers[i], train=train)
             if f > 1:
-                x = UpBilinear(self.out_channels, f, name=f"up_{i}")(x)
-            layers[i] = node_cls(self.out_channels, name=f"node_{i}")(
+                x = UpBilinear(self.out_channels, f, dtype=self.dtype,
+                               name=f"up_{i}")(x)
+            layers[i] = node_cls(self.out_channels, dtype=self.dtype,
+                                 name=f"node_{i}")(
                 x + layers[i - 1], train=train)
         return layers
 
@@ -285,6 +319,7 @@ class DLAUp(nn.Module):
     startp: int
     channels: Tuple[int, ...]  # channels at levels startp..5
     node: str = "dcn"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
@@ -298,7 +333,8 @@ class DLAUp(nn.Module):
             j = -i - 2
             ida = IDAUp(channels[j],
                         tuple(int(s) for s in scales[j:] // scales[j]),
-                        node=self.node, name=f"ida_{i}")
+                        node=self.node, dtype=self.dtype,
+                        name=f"ida_{i}")
             layers[j:] = ida(layers[j:], train=train)
             out.insert(0, layers[-1])
             scales[j + 1:] = scales[j]
@@ -314,6 +350,7 @@ class DLASeg(nn.Module):
     with_pre_hm: bool = False
     last_level: int = 5
     down_ratio: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
@@ -321,15 +358,17 @@ class DLASeg(nn.Module):
         first_level = int(np.log2(self.down_ratio))
         base = DLA(levels, channels, block,
                    with_pre_img=self.with_pre_img,
-                   with_pre_hm=self.with_pre_hm, name="base")
+                   with_pre_hm=self.with_pre_hm, dtype=self.dtype,
+                   name="base")
         feats = base(x, pre_img, pre_hm, train=train)
         dla_up = DLAUp(first_level, channels[first_level:],
-                       node=self.dla_node, name="dla_up")
+                       node=self.dla_node, dtype=self.dtype,
+                       name="dla_up")
         out = dla_up(feats[first_level:], train=train)
         y = out[: self.last_level - first_level]
         ida_up = IDAUp(
             channels[first_level],
             tuple(2 ** i for i in range(self.last_level - first_level)),
-            node=self.dla_node, name="ida_up")
+            node=self.dla_node, dtype=self.dtype, name="ida_up")
         y = ida_up(y, train=train)
         return [y[-1]]

@@ -20,6 +20,7 @@ class IDAUpV0(nn.Module):
     """(reference: dlav0.py:441-496)"""
     out_dim: int
     up_factors: tuple
+    dtype: object = None
 
     @nn.compact
     def __call__(self, layers, train: bool = False):
@@ -27,14 +28,15 @@ class IDAUpV0(nn.Module):
         for i, f in enumerate(self.up_factors):
             x = layers[i]
             if x.shape[-1] != self.out_dim:
-                x = ConvBNAct(self.out_dim, 1, 1, act=True,
+                x = ConvBNAct(self.out_dim, 1, 1, act=True, dtype=self.dtype,
                               name=f"proj_{i}")(x, train)
             if f > 1:
-                x = UpBilinear(self.out_dim, int(f), name=f"up_{i}")(x)
+                x = UpBilinear(self.out_dim, int(f), dtype=self.dtype,
+                               name=f"up_{i}")(x)
             layers[i] = x
         x = layers[0]
         for i in range(1, len(layers)):
-            x = ConvBNAct(self.out_dim, 3, 1, act=True,
+            x = ConvBNAct(self.out_dim, 3, 1, act=True, dtype=self.dtype,
                           name=f"node_{i}")(
                 jnp.concatenate([x, layers[i]], axis=-1), train)
             layers[i] = x
@@ -44,6 +46,7 @@ class IDAUpV0(nn.Module):
 class DLAUpV0(nn.Module):
     """(reference: dlav0.py:499-524)"""
     channels: tuple
+    dtype: object = None
 
     @nn.compact
     def __call__(self, layers, train: bool = False):
@@ -55,6 +58,7 @@ class DLAUpV0(nn.Module):
             x, sub = IDAUpV0(
                 channels[j],
                 tuple(int(s) for s in scales[j:] // scales[j]),
+                dtype=self.dtype,
                 name=f"ida_{i}")(layers[j:], train=train)
             layers[j:] = sub
             scales[j + 1:] = scales[j]
@@ -69,6 +73,7 @@ class DLASegV0(nn.Module):
     with_pre_img: bool = False
     with_pre_hm: bool = False
     down_ratio: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
@@ -76,8 +81,10 @@ class DLASegV0(nn.Module):
         first_level = int(np.log2(self.down_ratio))
         feats = DLA(levels, channels, block,
                     with_pre_img=self.with_pre_img,
-                    with_pre_hm=self.with_pre_hm, name="base")(
+                    with_pre_hm=self.with_pre_hm, dtype=self.dtype,
+                    name="base")(
             x, pre_img, pre_hm, train=train)
-        out = DLAUpV0(tuple(channels[first_level:]), name="dla_up")(
+        out = DLAUpV0(tuple(channels[first_level:]), dtype=self.dtype,
+                      name="dla_up")(
             feats[first_level:], train=train)
         return [out]

@@ -34,6 +34,7 @@ class InvertedResidual(nn.Module):
     oup: int
     stride: int
     expand_ratio: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,12 +43,14 @@ class InvertedResidual(nn.Module):
         use_res = self.stride == 1 and inp == self.oup
         out = x
         if self.expand_ratio != 1:
-            out = ConvBNAct(hidden, 1, 1, act=True, name="pw")(out, train)
+            out = ConvBNAct(hidden, 1, 1, act=True, dtype=self.dtype,
+                            name="pw")(out, train)
             out = jnp.minimum(out, 6.0)  # ReLU6 upper clamp
         out = ConvBNAct(hidden, 3, self.stride, act=True,
-                        groups=hidden, name="dw")(out, train)
+                        groups=hidden, dtype=self.dtype, name="dw")(out, train)
         out = jnp.minimum(out, 6.0)
-        out = ConvBNAct(self.oup, 1, 1, act=False, name="pw_linear")(
+        out = ConvBNAct(self.oup, 1, 1, act=False, dtype=self.dtype,
+                        name="pw_linear")(
             out, train)
         return x + out if use_res else out
 
@@ -68,6 +71,7 @@ class MobileNetV2(nn.Module):
     with_pre_img: bool = False
     with_pre_hm: bool = False
     width_mult: float = 1.0
+    dtype: object = None
 
     @staticmethod
     def out_channels(width_mult: float = 1.0):
@@ -89,13 +93,14 @@ class MobileNetV2(nn.Module):
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         input_channel = _make_divisible(32 * self.width_mult)
-        h = ConvBNAct(input_channel, 3, 2, act=True, name="stem")(x, train)
+        h = ConvBNAct(input_channel, 3, 2, act=True, dtype=self.dtype,
+                      name="stem")(x, train)
         h = jnp.minimum(h, 6.0)
         if pre_img is not None and self.with_pre_img:
-            h = h + ConvBNAct(input_channel, 3, 2, act=False,
+            h = h + ConvBNAct(input_channel, 3, 2, act=False, dtype=self.dtype,
                               name="pre_img_layer")(pre_img, train)
         if pre_hm is not None and self.with_pre_hm:
-            h = h + ConvBNAct(input_channel, 3, 2, act=False,
+            h = h + ConvBNAct(input_channel, 3, 2, act=False, dtype=self.dtype,
                               name="pre_hm_layer")(pre_hm, train)
         y = [h]
         idx = 0
@@ -110,7 +115,8 @@ class MobileNetV2(nn.Module):
         for bi, (oc, stride, t) in enumerate(blocks):
             if stride == 2:
                 y.append(prev)
-            prev = InvertedResidual(oc, stride, t, name=f"block_{bi}")(
+            prev = InvertedResidual(oc, stride, t, dtype=self.dtype,
+                                    name=f"block_{bi}")(
                 prev, train=train)
         y.append(prev)
         # reference emits 6 maps: stem + 4 pre-stride taps + final; the
@@ -124,18 +130,20 @@ class ResnetPyramid(nn.Module):
     num_layers: int = 18
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         block_name, layers = RESNET_SPEC[self.num_layers]
         block = ResBasicBlock if block_name == "basic" else ResBottleneck
         expansion = 1 if block_name == "basic" else 4
-        h = ConvBNAct(64, 7, 2, act=True, name="conv1")(x, train)
+        h = ConvBNAct(64, 7, 2, act=True, dtype=self.dtype,
+                      name="conv1")(x, train)
         if pre_img is not None and self.with_pre_img:
-            h = h + ConvBNAct(64, 7, 2, act=True,
+            h = h + ConvBNAct(64, 7, 2, act=True, dtype=self.dtype,
                               name="pre_img_layer")(pre_img, train)
         if pre_hm is not None and self.with_pre_hm:
-            h = h + ConvBNAct(64, 7, 2, act=True,
+            h = h + ConvBNAct(64, 7, 2, act=True, dtype=self.dtype,
                               name="pre_hm_layer")(pre_hm, train)
         y = [h]
         h = nn.max_pool(h, (3, 3), strides=(2, 2),
@@ -149,6 +157,7 @@ class ResnetPyramid(nn.Module):
                 need_ds = (bi == 0 and (
                     stride != 1 or inplanes != planes * expansion))
                 h = block(planes, stride if bi == 0 else 1, need_ds,
+                          dtype=self.dtype,
                           name=f"layer{li + 1}_{bi}")(h, train=train)
             inplanes = planes * expansion
             y.append(h)
@@ -160,13 +169,15 @@ class DLAPyramid(nn.Module):
     (reference: backbones/dla.py — identical tree to models/dla.DLA)."""
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         levels, channels, block = DLA_CONFIGS[34]
         return DLA(levels, channels, block,
                    with_pre_img=self.with_pre_img,
-                   with_pre_hm=self.with_pre_hm, name="base")(
+                   with_pre_hm=self.with_pre_hm, dtype=self.dtype,
+                   name="base")(
             x, pre_img, pre_hm, train=train)
 
 
@@ -174,18 +185,21 @@ class DLAUpNeck(nn.Module):
     """Generic DLAUp neck (reference: necks/dlaup.py:169-199)."""
     channels: Tuple[int, ...]  # 6 backbone channels
     dla_node: str = "dcn"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         first_level, last_level = 2, 5
         channels = list(self.channels)
         out = DLAUp(first_level, tuple(channels[first_level:]),
-                    node=self.dla_node, name="dla_up")(
+                    node=self.dla_node, dtype=self.dtype,
+                    name="dla_up")(
             feats[first_level:], train=train)
         y = out[: last_level - first_level]
         y = IDAUp(channels[first_level],
                   tuple(2 ** i for i in range(last_level - first_level)),
-                  node=self.dla_node, name="ida_up")(y, train=train)
+                  node=self.dla_node, dtype=self.dtype,
+                  name="ida_up")(y, train=train)
         return [y[-1]]
 
 
@@ -193,6 +207,7 @@ class MSRAUpNeck(nn.Module):
     """3 x (DCN -> BN -> ReLU -> bilinear-up -> BN -> ReLU)
     (reference: necks/msraup.py:48-135). out_channel 64 or 256."""
     out_channel: int = 256
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -200,13 +215,17 @@ class MSRAUpNeck(nn.Module):
                        else (256, 256, 256))
         x = feats[-1]
         for i, planes in enumerate(planes_list):
-            x = DCNLayer(planes, 3, name=f"dcn_{i}")(x)
+            x = DCNLayer(planes, 3, dtype=self.dtype,
+                         name=f"dcn_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"dcn_bn_{i}")(x)
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"dcn_bn_{i}")(x)
             x = nn.relu(x)
-            x = UpBilinear(planes, 2, name=f"up_{i}")(x)
+            x = UpBilinear(planes, 2, dtype=self.dtype,
+                           name=f"up_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"up_bn_{i}")(x)
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"up_bn_{i}")(x)
             x = nn.relu(x)
         return [x]
 
@@ -221,30 +240,33 @@ class GenericNetwork(nn.Module):
     msra_outchannel: int = 256
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         if self.backbone == "dla34":
             bb = DLAPyramid(self.with_pre_img, self.with_pre_hm,
-                            name="backbone")
+                            dtype=self.dtype, name="backbone")
             channels = list(DLA_CONFIGS[34][1])
         elif self.backbone == "resnet":
             nl = self.num_layers if self.num_layers in RESNET_SPEC else 50
             bb = ResnetPyramid(nl, self.with_pre_img, self.with_pre_hm,
-                               name="backbone")
+                               dtype=self.dtype, name="backbone")
             e = 1 if RESNET_SPEC[nl][0] == "basic" else 4
             channels = [64, 64, 64 * e, 128 * e, 256 * e, 512 * e]
         elif self.backbone == "mobilenet":
             bb = MobileNetV2(self.with_pre_img, self.with_pre_hm,
-                             name="backbone")
+                             dtype=self.dtype, name="backbone")
             channels = MobileNetV2.out_channels()
         else:
             raise ValueError(f"unknown backbone {self.backbone}")
         feats = bb(x, pre_img, pre_hm, train=train)
         if self.neck == "dlaup":
-            neck = DLAUpNeck(tuple(channels), self.dla_node, name="neck")
+            neck = DLAUpNeck(tuple(channels), self.dla_node,
+                             dtype=self.dtype, name="neck")
         elif self.neck == "msraup":
-            neck = MSRAUpNeck(self.msra_outchannel, name="neck")
+            neck = MSRAUpNeck(self.msra_outchannel, dtype=self.dtype,
+                              name="neck")
         else:
             raise ValueError(f"unknown neck {self.neck}")
         return neck(feats, train=train)

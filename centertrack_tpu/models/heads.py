@@ -19,6 +19,7 @@ class Head(nn.Module):
     convs: Tuple[int, ...]
     head_kernel: int = 3
     prior_bias: float | None = None  # set for 'hm' heads
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -29,16 +30,17 @@ class Head(nn.Module):
             k = self.head_kernel
             x = nn.Conv(self.convs[0], (k, k),
                         padding=((k // 2, k // 2), (k // 2, k // 2)),
-                        name="conv_0")(x)
+                        dtype=self.dtype, name="conv_0")(x)
             x = nn.relu(x)
             for i, c in enumerate(self.convs[1:], start=1):
-                x = nn.Conv(c, (1, 1), name=f"conv_{i}")(x)
+                x = nn.Conv(c, (1, 1), dtype=self.dtype,
+                            name=f"conv_{i}")(x)
                 x = nn.relu(x)
             x = nn.Conv(self.out_features, (1, 1), bias_init=bias_init,
-                        name="out")(x)
+                        dtype=self.dtype, name="out")(x)
         else:
             x = nn.Conv(self.out_features, (1, 1), bias_init=bias_init,
-                        name="out")(x)
+                        dtype=self.dtype, name="out")(x)
         return x
 
 
@@ -48,6 +50,7 @@ class HeadSet(nn.Module):
     head_convs: Tuple[Tuple[str, Tuple[int, ...]], ...]
     head_kernel: int = 3
     prior_bias: float = -4.6
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feat) -> Dict[str, jnp.ndarray]:
@@ -56,5 +59,7 @@ class HeadSet(nn.Module):
         for name, classes in self.heads:
             prior = self.prior_bias if "hm" in name else None
             out[name] = Head(classes, tuple(head_convs.get(name, ())),
-                             self.head_kernel, prior, name=name)(feat)
+                             self.head_kernel, prior, dtype=self.dtype,
+                             name=name)(feat)
+            out[name] = out[name].astype(jnp.float32)
         return out

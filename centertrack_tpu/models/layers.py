@@ -26,6 +26,7 @@ class ConvBNAct(nn.Module):
     act: bool = True
     use_bias: bool = False
     groups: int = 1
+    dtype: object = None   # compute dtype (None = fp32); params stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,10 +36,11 @@ class ConvBNAct(nn.Module):
                     padding=((pad, pad), (pad, pad)),
                     kernel_dilation=(self.dilation, self.dilation),
                     feature_group_count=self.groups,
-                    use_bias=self.use_bias, name="conv")(x)
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=BN_MOMENTUM_FLAX, epsilon=1e-5,
-                         name="bn")(x)
+                         dtype=self.dtype, name="bn")(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -63,6 +65,7 @@ class UpBilinear(nn.Module):
     (reference: src/lib/model/networks/dla.py:529-532)."""
     channels: int
     factor: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -74,6 +77,9 @@ class UpBilinear(nn.Module):
         # conv_transpose(stride f, pad f//2) == conv over f-dilated input
         # with symmetric padding k - 1 - f//2.
         pad = k - 1 - f // 2
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         out = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(1, 1),
@@ -97,10 +103,14 @@ class DCNLayer(nn.Module):
     kernel: int = 3
     stride: int = 1
     dilation: int = 1
+    dtype: object = None
+    mode: str = "gather"       # 'gather' (exact) | 'local' (TPU fast path)
+    max_offset: int = 2        # offset clamp for 'local'
 
     @nn.compact
     def __call__(self, x):
-        from centertrack_tpu.ops.dcn import deform_conv2d
+        from centertrack_tpu.ops.dcn import deform_conv2d, \
+            deform_conv2d_local
         k2 = self.kernel * self.kernel
         pad = self.dilation * (self.kernel - 1) // 2
         om = nn.Conv(3 * k2, (self.kernel, self.kernel),
@@ -109,7 +119,7 @@ class DCNLayer(nn.Module):
                      kernel_dilation=(self.dilation, self.dilation),
                      kernel_init=nn.initializers.zeros,
                      bias_init=nn.initializers.zeros,
-                     name="conv_offset_mask")(x)
+                     dtype=self.dtype, name="conv_offset_mask")(x)
         offset = om[..., :2 * k2]
         mask = jax.nn.sigmoid(om[..., 2 * k2:])
         cin = x.shape[-1]
@@ -117,6 +127,16 @@ class DCNLayer(nn.Module):
             "weight", nn.initializers.lecun_normal(),
             (self.kernel, self.kernel, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            offset = offset.astype(self.dtype)
+            mask = mask.astype(self.dtype)
+            weight = weight.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        if self.mode == "local" and self.kernel == 3 \
+                and self.stride == 1 and self.dilation == 1:
+            return deform_conv2d_local(x, offset, mask, weight, bias,
+                                       max_offset=self.max_offset)
         return deform_conv2d(x, offset, mask, weight, bias,
                              stride=self.stride, padding=pad,
                              dilation=self.dilation)

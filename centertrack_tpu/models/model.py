@@ -36,29 +36,31 @@ class CenterTrackNet(nn.Module):
     msra_outchannel: int = 256
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: object = None   # compute dtype; None/float32 = full precision
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         if self.arch == "dla":
             backbone = DLASeg(self.num_layers, dla_node=self.dla_node,
                               with_pre_img=self.with_pre_img,
-                              with_pre_hm=self.with_pre_hm, name="backbone")
+                              with_pre_hm=self.with_pre_hm,
+                              dtype=self.dtype, name="backbone")
         elif self.arch == "dlav0":
             from centertrack_tpu.models.dlav0 import DLASegV0
             backbone = DLASegV0(self.num_layers,
                                 with_pre_img=self.with_pre_img,
                                 with_pre_hm=self.with_pre_hm,
-                                name="backbone")
+                                dtype=self.dtype, name="backbone")
         elif self.arch == "res":
             backbone = PoseResNet(self.num_layers,
                                   with_pre_img=self.with_pre_img,
                                   with_pre_hm=self.with_pre_hm,
-                                  name="backbone")
+                                  dtype=self.dtype, name="backbone")
         elif self.arch == "resdcn":
             backbone = PoseResDCN(self.num_layers,
                                   with_pre_img=self.with_pre_img,
                                   with_pre_hm=self.with_pre_hm,
-                                  name="backbone")
+                                  dtype=self.dtype, name="backbone")
         elif self.arch == "generic":
             from centertrack_tpu.models.generic import GenericNetwork
             backbone = GenericNetwork(self.num_layers,
@@ -68,12 +70,16 @@ class CenterTrackNet(nn.Module):
                                       msra_outchannel=self.msra_outchannel,
                                       with_pre_img=self.with_pre_img,
                                       with_pre_hm=self.with_pre_hm,
-                                      name="backbone")
+                                      dtype=self.dtype, name="backbone")
         else:
             raise ValueError(f"unknown arch {self.arch}")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            pre_img = None if pre_img is None else pre_img.astype(self.dtype)
+            pre_hm = None if pre_hm is None else pre_hm.astype(self.dtype)
         feats = backbone(x, pre_img, pre_hm, train=train)
         head_set = HeadSet(self.heads, self.head_convs, self.head_kernel,
-                           self.prior_bias, name="heads")
+                           self.prior_bias, dtype=self.dtype, name="heads")
         return [head_set(f) for f in feats]
 
 
@@ -94,6 +100,8 @@ def create_model(arch: str, heads: Dict[str, int],
             with_pre_hm=cfg.pre_hm,
             head_kernel=cfg.head_kernel,
             prior_bias=cfg.prior_bias,
+            dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else None),
         )
     return CenterTrackNet(
         arch=arch_base, num_layers=num_layers,

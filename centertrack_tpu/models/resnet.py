@@ -19,16 +19,18 @@ class ResBasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         out = ConvBNAct(self.planes, 3, self.stride, act=True,
-                        name="conv1")(x, train)
-        out = ConvBNAct(self.planes, 3, 1, act=False, name="conv2")(out, train)
+                        dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBNAct(self.planes, 3, 1, act=False, dtype=self.dtype,
+                        name="conv2")(out, train)
         if self.downsample:
             residual = ConvBNAct(self.planes, 1, self.stride, act=False,
-                                 name="downsample")(x, train)
+                                 dtype=self.dtype, name="downsample")(x, train)
         return nn.relu(out + residual)
 
 
@@ -37,18 +39,20 @@ class ResBottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = ConvBNAct(self.planes, 1, 1, act=True, name="conv1")(x, train)
+        out = ConvBNAct(self.planes, 1, 1, act=True, dtype=self.dtype,
+                        name="conv1")(x, train)
         out = ConvBNAct(self.planes, 3, self.stride, act=True,
-                        name="conv2")(out, train)
+                        dtype=self.dtype, name="conv2")(out, train)
         out = ConvBNAct(self.planes * self.expansion, 1, 1, act=False,
-                        name="conv3")(out, train)
+                        dtype=self.dtype, name="conv3")(out, train)
         if self.downsample:
             residual = ConvBNAct(self.planes * self.expansion, 1,
-                                 self.stride, act=False,
+                                 self.stride, act=False, dtype=self.dtype,
                                  name="downsample")(x, train)
         return nn.relu(out + residual)
 
@@ -68,6 +72,7 @@ class ResNetTrunk(nn.Module):
     num_layers: int = 18
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
@@ -75,15 +80,16 @@ class ResNetTrunk(nn.Module):
         block = ResBasicBlock if block_name == "basic" else ResBottleneck
         expansion = 1 if block_name == "basic" else 4
 
-        x = ConvBNAct(64, 7, 2, act=True, name="conv1")(x, train)
+        x = ConvBNAct(64, 7, 2, act=True, dtype=self.dtype,
+                      name="conv1")(x, train)
         # pre-frame stems at stride 2, added to the current stem features
         # (resdcn has no stems upstream; we support them uniformly so every
         #  arch can run the tracking task, mirroring mobilenet.py:120-129).
         if pre_img is not None and self.with_pre_img:
-            x = x + ConvBNAct(64, 7, 2, act=True,
+            x = x + ConvBNAct(64, 7, 2, act=True, dtype=self.dtype,
                               name="pre_img_layer")(pre_img, train)
         if pre_hm is not None and self.with_pre_hm:
-            x = x + ConvBNAct(64, 7, 2, act=True,
+            x = x + ConvBNAct(64, 7, 2, act=True, dtype=self.dtype,
                               name="pre_hm_layer")(pre_hm, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -95,6 +101,7 @@ class ResNetTrunk(nn.Module):
                 need_ds = (bi == 0 and
                            (stride != 1 or inplanes != planes * expansion))
                 x = block(planes, stride if bi == 0 else 1, need_ds,
+                          dtype=self.dtype,
                           name=f"layer{li + 1}_{bi}")(x, train=train)
             inplanes = planes * expansion
         return x
@@ -106,11 +113,13 @@ class PoseResNet(nn.Module):
     num_layers: int = 18
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         x = ResNetTrunk(self.num_layers, self.with_pre_img,
-                        self.with_pre_hm, name="trunk")(
+                        self.with_pre_hm, dtype=self.dtype,
+                        name="trunk")(
             x, pre_img, pre_hm, train=train)
         for i in range(3):
             # ConvTranspose(k=4, s=2, p=1) == 2x upsample; flax 'SAME'
@@ -118,9 +127,11 @@ class PoseResNet(nn.Module):
             x = nn.ConvTranspose(256, (4, 4), strides=(2, 2),
                                  padding="SAME", use_bias=False,
                                  kernel_init=nn.initializers.normal(0.001),
+                                 dtype=self.dtype,
                                  name=f"deconv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"deconv_bn_{i}")(x)
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"deconv_bn_{i}")(x)
             x = nn.relu(x)
         return [x]
 
@@ -131,19 +142,25 @@ class PoseResDCN(nn.Module):
     num_layers: int = 18
     with_pre_img: bool = False
     with_pre_hm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
         x = ResNetTrunk(self.num_layers, self.with_pre_img,
-                        self.with_pre_hm, name="trunk")(
+                        self.with_pre_hm, dtype=self.dtype,
+                        name="trunk")(
             x, pre_img, pre_hm, train=train)
         for i, planes in enumerate((256, 128, 64)):
-            x = DCNLayer(planes, 3, name=f"dcn_{i}")(x)
+            x = DCNLayer(planes, 3, dtype=self.dtype,
+                         name=f"dcn_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"dcn_bn_{i}")(x)
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"dcn_bn_{i}")(x)
             x = nn.relu(x)
-            x = UpBilinear(planes, 2, name=f"up_{i}")(x)
+            x = UpBilinear(planes, 2, dtype=self.dtype,
+                           name=f"up_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"up_bn_{i}")(x)
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"up_bn_{i}")(x)
             x = nn.relu(x)
         return [x]

@@ -1,0 +1,108 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from centertrack_tpu.ops import dcn
+
+
+def test_zero_offset_equals_plain_conv():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(6).astype(np.float32))
+    ours = dcn.plain_conv_reference(x, w, bias)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_integer_offset_shifts():
+    # offset of exactly (0, +1) for every tap shifts sampling right by 1
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 5).astype(np.float32) * 0.1)
+    offset = np.zeros((1, 8, 8, 18), np.float32)
+    offset[..., 1::2] = 1.0  # dx = +1 per tap
+    mask = np.ones((1, 8, 8, 9), np.float32)
+    out = dcn.deform_conv2d(x, jnp.asarray(offset), jnp.asarray(mask), w)
+    x_shift = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:, :]
+    ref = dcn.plain_conv_reference(x_shift, w)
+    # boundary columns differ (shifted-input conv pads where the deform
+    # op still sees real pixels); interior must match exactly
+    np.testing.assert_allclose(np.asarray(out)[:, :, 1:-1],
+                               np.asarray(ref)[:, :, 1:-1], atol=1e-4)
+
+
+def test_fractional_offset_bilinear():
+    # half-pixel offset averages neighbors
+    x = np.zeros((1, 5, 5, 1), np.float32)
+    x[0, 2, 2, 0] = 1.0
+    w = np.zeros((3, 3, 1, 1), np.float32)
+    w[1, 1, 0, 0] = 1.0  # identity center tap
+    offset = np.zeros((1, 5, 5, 18), np.float32)
+    offset[..., 2 * 4 + 1] = 0.5  # center tap dx=+0.5
+    mask = np.ones((1, 5, 5, 9), np.float32)
+    out = np.asarray(dcn.deform_conv2d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(w)))
+    assert abs(out[0, 2, 1, 0] - 0.5) < 1e-5
+    assert abs(out[0, 2, 2, 0] - 0.5) < 1e-5
+
+
+def test_mask_modulation():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 6, 6, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+    offset = jnp.zeros((1, 6, 6, 18))
+    half = jnp.full((1, 6, 6, 9), 0.5)
+    full = jnp.ones((1, 6, 6, 9))
+    o_half = dcn.deform_conv2d(x, offset, half, w)
+    o_full = dcn.deform_conv2d(x, offset, full, w)
+    np.testing.assert_allclose(np.asarray(o_half) * 2,
+                               np.asarray(o_full), atol=1e-4)
+
+
+def test_local_matches_gather_within_clamp():
+    """The gather-free fast path must agree exactly with the reference
+    gather implementation when offsets are inside the clamp range."""
+    rng = np.random.RandomState(3)
+    r = 2
+    x = jnp.asarray(rng.randn(2, 10, 12, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(6).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-r, r, (2, 10, 12, 18)).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 10, 12, 9).astype(np.float32))
+    ref = dcn.deform_conv2d(x, offset, mask, w, bias)
+    fast = dcn.deform_conv2d_local(x, offset, mask, w, bias, max_offset=r)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_local_clamps_large_offsets():
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+    big = jnp.full((1, 8, 8, 18), 10.0)
+    clamped = jnp.full((1, 8, 8, 18), 2.0)
+    mask = jnp.ones((1, 8, 8, 9))
+    o_big = dcn.deform_conv2d_local(x, big, mask, w, max_offset=2)
+    o_ref = dcn.deform_conv2d(x, clamped, mask, w)
+    np.testing.assert_allclose(np.asarray(o_big), np.asarray(o_ref),
+                               atol=1e-4)
+
+
+def test_local_offset_gradients_flow():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 6, 6, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+    mask = jnp.ones((1, 6, 6, 9))
+
+    def loss(off):
+        return (dcn.deform_conv2d_local(x, off, mask, w) ** 2).sum()
+
+    off0 = jnp.full((1, 6, 6, 18), 0.3)
+    g = jax.grad(loss)(off0)
+    assert float(jnp.abs(g).max()) > 0
