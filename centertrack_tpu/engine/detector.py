@@ -171,6 +171,11 @@ class Detector:
                 out = flip_merge(out, flip_idx)
             dets = generic_decode(out, cfg.K, cfg.num_classes,
                                   cfg.zero_tracking)
+            if cfg.nms and "bboxes" in dets:
+                from centertrack_tpu.ops.nms import batched_nms
+                keep = batched_nms(dets["bboxes"], dets["scores"],
+                                   dets["clses"])
+                dets["scores"] = jnp.where(keep, dets["scores"], 0.0)
             return images, dets
 
         self._step_fn[in_shape] = step

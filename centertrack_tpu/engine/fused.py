@@ -1,0 +1,215 @@
+"""Fully-fused detection+tracking pipeline: ZERO per-frame host sync.
+
+The standard Detector (engine/detector.py) mirrors the reference's loop
+structure: decode results come back to the host every frame for
+post-processing and association (reference: detector.py:143-148). On a
+TPU behind an RPC tunnel that per-frame device->host round trip costs
+more than the network itself.
+
+FusedDetector moves the ENTIRE per-frame loop into one jitted device
+program:
+
+  uint8 frame -> affine warp + normalize
+              -> pre_hm render FROM DEVICE TRACK STATE
+                 (bbox -> input coords -> radius law -> gaussian splat)
+              -> backbone + heads -> decode (top-K)
+              -> device post-process (inverse affine to image coords)
+              -> device greedy association (engine/device_tracker.py)
+              -> new track state
+
+Track state and the previous frame tensor never leave HBM; the host
+only enqueues frames and *lazily* fetches per-frame result arrays, so
+frames pipeline at full hardware throughput and result readback
+overlaps the next frames' compute.
+
+Private-detection tracking only (public-det mode and multi-scale stay
+on the host Detector).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from centertrack_tpu.engine import device_tracker as dt
+from centertrack_tpu.models.model import create_model, init_model, load_model
+from centertrack_tpu.ops.affine import get_affine_transform, invert_affine
+from centertrack_tpu.ops.decode import generic_decode, sigmoid_output
+from centertrack_tpu.ops.gaussian import (gaussian_radius_jax,
+                                          render_pre_hm)
+from centertrack_tpu.ops.warp import preprocess_frame
+
+
+def _affine_pts(pts: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """(N, 2) points through a 2x3 affine."""
+    return pts @ m[:, :2].T + m[:, 2]
+
+
+class FusedDetector:
+    def __init__(self, cfg, params=None, batch_stats=None,
+                 dataset_meta=None):
+        assert cfg.tracking, "FusedDetector is for tracking tasks"
+        self.cfg = cfg
+        if dataset_meta is None:
+            from centertrack_tpu.data.registry import get_dataset_meta
+            dataset_meta = get_dataset_meta(cfg.dataset, cfg)
+        self.mean = jnp.asarray(
+            np.asarray(dataset_meta.mean, np.float32).reshape(3))
+        self.std = jnp.asarray(
+            np.asarray(dataset_meta.std, np.float32).reshape(3))
+        self.model = create_model(cfg.arch, cfg.heads_dict,
+                                  cfg.head_convs_dict, cfg)
+        if params is None:
+            if cfg.load_model:
+                tp, tb = init_model(self.model, cfg)
+                ckpt = load_model(cfg.load_model, tp, tb)
+                params, batch_stats = ckpt["params"], ckpt["batch_stats"]
+            else:
+                params, batch_stats = init_model(self.model, cfg)
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.capacity = cfg.max_tracks
+        self._step = {}
+        self._warp = {}
+        self.reset_tracking()
+
+    def reset_tracking(self):
+        self.track_state = dt.init_state(self.capacity)
+        self.pre_images = None
+
+    # ------------------------------------------------------------------
+    def _build(self, in_shape):
+        cfg = self.cfg
+        model = self.model
+        mean, std = self.mean, self.std
+        k = cfg.K
+
+        @jax.jit
+        def warp(frame_u8, inv_trans):
+            return preprocess_frame(frame_u8, inv_trans, cfg.input_h,
+                                    cfg.input_w, mean, std)
+
+        @jax.jit
+        def step(params, batch_stats, frame_u8, inv_trans_input,
+                 trans_input, inv_trans_output, pre_images, state):
+            images = warp(frame_u8, inv_trans_input)
+
+            # ---- pre_hm from device track state --------------------
+            use_track = (state.valid & (state.active > 0) &
+                         (state.scores >= cfg.pre_thresh))
+            tl = _affine_pts(state.bboxes[:, 0:2], trans_input)
+            br = _affine_pts(state.bboxes[:, 2:4], trans_input)
+            x1 = jnp.clip(tl[:, 0], 0, cfg.input_w - 1)
+            y1 = jnp.clip(tl[:, 1], 0, cfg.input_h - 1)
+            x2 = jnp.clip(br[:, 0], 0, cfg.input_w - 1)
+            y2 = jnp.clip(br[:, 1], 0, cfg.input_h - 1)
+            h = y2 - y1
+            w = x2 - x1
+            use_track = use_track & (h > 0) & (w > 0)
+            radius = jnp.maximum(0, jnp.floor(gaussian_radius_jax(
+                jnp.ceil(h), jnp.ceil(w)))).astype(jnp.int32)
+            cts = jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2], axis=1)
+            pre_hm = render_pre_hm(
+                cfg.input_h, cfg.input_w, cts.astype(jnp.int32), radius,
+                jnp.ones_like(radius, jnp.float32), use_track)[None]
+            if cfg.zero_pre_hm:
+                pre_hm = pre_hm * 0
+
+            # ---- net + decode --------------------------------------
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, pre_images if cfg.pre_img else None,
+                pre_hm if cfg.pre_hm else None, train=False)[-1]
+            out = sigmoid_output(out, cfg.depth_scale)
+            dets = generic_decode(out, k, cfg.num_classes,
+                                  cfg.zero_tracking)
+
+            # ---- device post-process (output grid -> image) --------
+            scores = dets["scores"][0]
+            clses = dets["clses"][0].astype(jnp.int32) + 1
+            cts_out = dets["cts"][0]
+            cts_img = _affine_pts(cts_out, inv_trans_output)
+            tracking_img = _affine_pts(
+                dets["tracking"][0] + cts_out, inv_trans_output) - cts_img
+            bb = dets["bboxes"][0]
+            p1 = _affine_pts(bb[:, 0:2], inv_trans_output)
+            p2 = _affine_pts(bb[:, 2:4], inv_trans_output)
+            bboxes_img = jnp.concatenate([p1, p2], axis=1)
+
+            # ---- device association --------------------------------
+            new_state, assoc = dt.step(
+                state, scores, clses, cts_img, tracking_img, bboxes_img,
+                cfg.out_thresh, cfg.new_thresh, cfg.max_age)
+            results = {
+                "scores": scores, "classes": clses, "cts": cts_img,
+                "tracking": tracking_img, "bboxes": bboxes_img,
+                "tracking_id": assoc["tracking_id"],
+                "age": assoc["age"], "active": assoc["active"],
+            }
+            return images, new_state, results
+
+        self._warp[in_shape] = warp
+        self._step[in_shape] = step
+        return step
+
+    # ------------------------------------------------------------------
+    def run(self, image) -> Dict[str, jnp.ndarray]:
+        """Enqueue one frame; returns LAZY device arrays (call
+        np.asarray on them to materialize — ideally a few frames
+        later). `image` may be a host uint8 array or an already
+        device-resident one (e.g. staged ahead to overlap the H2D
+        transfer with compute)."""
+        cfg = self.cfg
+        height, width = image.shape[:2]
+        c = np.array([width / 2.0, height / 2.0], np.float32)
+        s = max(height, width) * 1.0
+        trans_input = get_affine_transform(
+            c, s, 0, [cfg.input_w, cfg.input_h])
+        inv_trans_input = invert_affine(trans_input).astype(np.float32)
+        out_w, out_h = cfg.input_w // cfg.down_ratio, \
+            cfg.input_h // cfg.down_ratio
+        inv_trans_output = get_affine_transform(
+            c, s, 0, [out_w, out_h], inv=1).astype(np.float32)
+
+        in_shape = image.shape
+        step = self._step.get(in_shape) or self._build(in_shape)
+        frame = jnp.asarray(image)
+        if self.pre_images is None:
+            self.pre_images = self._warp[in_shape](
+                frame, jnp.asarray(inv_trans_input))
+        images, self.track_state, results = step(
+            self.params, self.batch_stats, frame,
+            jnp.asarray(inv_trans_input),
+            jnp.asarray(trans_input.astype(np.float32)),
+            jnp.asarray(inv_trans_output), self.pre_images,
+            self.track_state)
+        self.pre_images = images
+        return results
+
+    @staticmethod
+    def fetch(results: Dict[str, jnp.ndarray],
+              out_thresh: float) -> List[Dict]:
+        """Materialize lazy per-frame results into the host dict-list
+        format the datasets' save_results expect."""
+        host = {k: np.asarray(v) for k, v in results.items()}
+        out = []
+        for i in range(len(host["scores"])):
+            if host["scores"][i] <= out_thresh:
+                break
+            if host["tracking_id"][i] <= 0:
+                continue
+            out.append({
+                "score": float(host["scores"][i]),
+                "class": int(host["classes"][i]),
+                "ct": host["cts"][i],
+                "tracking": host["tracking"][i],
+                "bbox": host["bboxes"][i],
+                "tracking_id": int(host["tracking_id"][i]),
+                "age": int(host["age"][i]),
+                "active": int(host["active"][i]),
+            })
+        return out

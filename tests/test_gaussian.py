@@ -63,3 +63,22 @@ def test_render_clips_at_border():
         h, w, jnp.asarray(cts), jnp.asarray(radii),
         jnp.ones(1), jnp.ones(1, bool)))[..., 0]
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_windowed_render_matches_dense():
+    # force the windowed path (H*W > 128^2) and compare with a host loop
+    rng = np.random.RandomState(3)
+    h, w, n = 160, 160, 12
+    cts = np.stack([rng.randint(0, w, n), rng.randint(0, h, n)], 1)
+    radii = rng.randint(0, 20, n)
+    ks = rng.choice([0.0, 1.0], n).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+    ref = np.zeros((h, w), np.float32)
+    for i in range(n):
+        if valid[i]:
+            gaussian.draw_umich_gaussian(ref, cts[i], int(radii[i]),
+                                         k=float(ks[i]))
+    out = np.asarray(gaussian.render_pre_hm(
+        h, w, jnp.asarray(cts, jnp.int32), jnp.asarray(radii, jnp.int32),
+        jnp.asarray(ks), jnp.asarray(valid)))[..., 0]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
