@@ -125,7 +125,8 @@ class Detector:
             @jax.jit
             def warp(frame_u8, inv_trans):
                 img = preprocess_frame(frame_u8, inv_trans, cfg.input_h,
-                                       cfg.input_w, mean, std)
+                                       cfg.input_w, mean, std,
+                                       axis_aligned=True)
                 if flip_test:
                     img = jnp.concatenate(
                         [img, jnp.flip(img, axis=2)], axis=0)

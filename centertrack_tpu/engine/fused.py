@@ -91,7 +91,8 @@ class FusedDetector:
         @jax.jit
         def warp(frame_u8, inv_trans):
             return preprocess_frame(frame_u8, inv_trans, cfg.input_h,
-                                    cfg.input_w, mean, std)
+                                    cfg.input_w, mean, std,
+                                    axis_aligned=True)
 
         @jax.jit
         def step(params, batch_stats, frame_u8, inv_trans_input,

@@ -65,15 +65,57 @@ def affine_warp(image: jnp.ndarray, inv_trans: jnp.ndarray,
     return out
 
 
+def affine_warp_separable(image: jnp.ndarray, inv_trans: jnp.ndarray,
+                          out_h: int, out_w: int) -> jnp.ndarray:
+    """Bilinear warp for AXIS-ALIGNED affines (rot == 0) as two MXU
+    matmuls with bilinear hat-weight matrices:
+
+        out = W_y @ image @ W_x^T      (per channel)
+
+    W_y[o, i] = max(0, 1 - |sy_o - i|) with sy_o = inv[1,1]*o + inv[1,2]
+    — exactly bilinear interpolation with zero outside the image (rows
+    beyond the border simply get no weight). The per-pixel gather
+    formulation (affine_warp) costs ~19 ms for 1080p -> 544x960 on TPU;
+    this runs in ~1 ms on the MXU.
+    """
+    h, w, c = image.shape
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    sy = inv_trans[1, 1] * ys + inv_trans[1, 2]
+    sx = inv_trans[0, 0] * xs + inv_trans[0, 2]
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(sy[:, None] -
+                           jnp.arange(h, dtype=jnp.float32)[None, :]))
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(sx[:, None] -
+                           jnp.arange(w, dtype=jnp.float32)[None, :]))
+    img_f = image.astype(jnp.float32)
+    # HIGHEST precision: the default bf16 matmul precision on TPU costs
+    # ~0.5/255 absolute error on pixel values — visible drift vs the
+    # cv2/gather bilinear reference.
+    tmp = jnp.einsum("oh,hwc->owc", wy, img_f,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("pw,owc->opc", wx, tmp,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
 def preprocess_frame(frame_u8: jnp.ndarray, inv_trans: jnp.ndarray,
                      out_h: int, out_w: int, mean: jnp.ndarray,
-                     std: jnp.ndarray) -> jnp.ndarray:
+                     std: jnp.ndarray,
+                     axis_aligned: bool = False) -> jnp.ndarray:
     """uint8 BGR frame -> normalized (1, out_h, out_w, 3) network input.
 
     Fuses warp + /255 + mean/std normalize
-    (reference: detector.py:219-224).
+    (reference: detector.py:219-224). ``axis_aligned`` selects the MXU
+    separable warp (valid whenever rot == 0, i.e. every test-time path).
     """
-    warped = affine_warp(frame_u8, inv_trans, out_h, out_w)
+    if axis_aligned:
+        warped = affine_warp_separable(frame_u8, inv_trans, out_h, out_w)
+    else:
+        warped = affine_warp(frame_u8, inv_trans, out_h, out_w)
     inp = (warped / 255.0 - mean) / std
     return inp[None]
 

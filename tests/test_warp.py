@@ -33,3 +33,16 @@ def test_preprocess_normalization():
     expect = (128 / 255.0 - 0.5) / 0.25
     np.testing.assert_allclose(out, expect, atol=1e-5)
     assert out.shape == (1, 32, 32, 3)
+
+
+def test_separable_warp_matches_gather():
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (90, 130, 3), np.uint8)
+    c = np.array([65.0, 45.0], np.float32)
+    s = 130.0
+    trans = affine.get_affine_transform(c, s, 0, (64, 48))
+    inv = jnp.asarray(affine.invert_affine(trans), jnp.float32)
+    ref = np.asarray(warp.affine_warp(jnp.asarray(img), inv, 48, 64))
+    sep = np.asarray(warp.affine_warp_separable(
+        jnp.asarray(img), inv, 48, 64))
+    np.testing.assert_allclose(sep, ref, atol=1e-2)
