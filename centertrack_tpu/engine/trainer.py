@@ -165,8 +165,11 @@ class Trainer:
         ret["time"] = (time.time() - t0) / 60.0
         return ret
 
-    def train(self, epoch: int, loader, num_iters: int = -1):
-        return self.run_epoch("train", epoch, loader, num_iters)
+    def train(self, epoch: int, loader, num_iters: int = -1,
+              log_every: int = 20):
+        return self.run_epoch("train", epoch, loader, num_iters,
+                              log_every)
 
-    def val(self, epoch: int, loader, num_iters: int = -1):
-        return self.run_epoch("val", epoch, loader, num_iters)
+    def val(self, epoch: int, loader, num_iters: int = -1,
+            log_every: int = 20):
+        return self.run_epoch("val", epoch, loader, num_iters, log_every)

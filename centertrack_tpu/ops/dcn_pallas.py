@@ -2,18 +2,16 @@
 
 Same math as ops/dcn.deform_conv2d_local (exact bilinear sampling with
 offsets clamped to +/-R, hat-function shift decomposition — see that
-docstring), but fused into ONE kernel:
+docstring), fused into ONE kernel per row-tile:
 
-  * the whole padded feature map for a batch element is DMA'd to VMEM
-    once (every CenterTrack neck level fits: <= 9 MB fp32 at MOT res),
-  * per output row-tile, the 9 taps' sampled+modulated activations are
-    built with static shifted slices (VPU) and immediately contracted
-    with the (Cin, Cout) tap weights on the MXU,
+  * the padded input stays in HBM; each grid step DMAs just its
+    (row_tile + 2*pad)-row window into a VMEM scratch (double-buffer-
+    friendly ~1 MB, vs. the naive full-map VMEM block whose 2x
+    pipelining exceeded the 16 MB VMEM budget),
+  * the 9 taps' sampled+modulated activations are built from static
+    shifted slices of the window (VPU) and contracted with the
+    (Cin, Cout) tap weights on the MXU,
   * one HBM write of the output tile.
-
-vs. the XLA version this removes 9 materialized (H, W, Cin) sampled
-maps from HBM traffic and collapses the ~441-op unrolled shift graph
-into a single fused loop nest.
 
 Replaces the reference's CUDA DCNv2 extension
 (reference: src/lib/model/networks/DCNv2 submodule, consumed at
@@ -30,11 +28,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
-            row_tile: int, width: int, pad: int, r: int, cin: int,
+def _kernel(x_hbm, off_ref, mask_ref, w_ref, b_ref, out_ref, xwin, sem,
+            *, row_tile: int, width: int, pad: int, r: int, cin: int,
             cout: int):
+    bi = pl.program_id(0)
     i = pl.program_id(1)
-    row0 = i * row_tile
+    row0 = i * row_tile  # window origin in padded-row coordinates
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(row0, row_tile + 2 * pad), :, :],
+        xwin, sem)
+    copy.start()
+    copy.wait()
 
     acc = jnp.zeros((row_tile * width, cout), jnp.float32)
     for t in range(9):
@@ -45,15 +50,17 @@ def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, out_ref, *,
         sampled = jnp.zeros((row_tile, width, cin), jnp.float32)
         for a in range(ty - r, ty + r + 2):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty + dy - a))
-            rows = x_ref[0, pl.ds(row0 + a + pad, row_tile), :, :]
+            rows = xwin[a + pad: a + pad + row_tile, :, :]
             for b in range(tx - r, tx + r + 2):
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx + dx - b))
                 seg = rows[:, b + pad: b + pad + width, :]
-                sampled = sampled + seg * (wy * wx)[..., None]
+                sampled = sampled + seg.astype(jnp.float32) * \
+                    (wy * wx)[..., None]
         sampled = sampled * m[..., None]
         acc = acc + jnp.dot(
             sampled.reshape(row_tile * width, cin),
-            w_ref[t], preferred_element_type=jnp.float32)
+            w_ref[t].astype(jnp.float32),
+            preferred_element_type=jnp.float32)
     out = acc + b_ref[:]
     out_ref[0, :, :, :] = out.reshape(row_tile, width, cout).astype(
         out_ref.dtype)
@@ -74,7 +81,6 @@ def deform_conv2d_pallas(x: jnp.ndarray, offset: jnp.ndarray,
     b, h, w, _ = x.shape
     r = max_offset
     pad = 1 + r + 1
-    # pad rows so H divides the row tile
     h_pad = (-h) % row_tile
     xp = jnp.pad(x, ((0, 0), (pad, pad + h_pad), (pad, pad), (0, 0)))
     if h_pad:
@@ -92,10 +98,7 @@ def deform_conv2d_pallas(x: jnp.ndarray, offset: jnp.ndarray,
             cin=cin, cout=cout),
         grid=grid,
         in_specs=[
-            # full padded map per batch element, revisited across tiles
-            pl.BlockSpec((1, hp + 2 * pad, w + 2 * pad, cin),
-                         lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # stays in HBM
             pl.BlockSpec((1, row_tile, w, 18),
                          lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -111,6 +114,10 @@ def deform_conv2d_pallas(x: jnp.ndarray, offset: jnp.ndarray,
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, w, cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((row_tile + 2 * pad, w + 2 * pad, cin), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(xp, offset, mask, w9, bias_arr)
     return out[:, :h]
