@@ -45,6 +45,21 @@ def test(cfg, args):
     results = {}
     num_iters = len(dataset) if cfg.num_iters < 0 else cfg.num_iters
     avg_time = {}
+
+    # Image read-ahead (the reference overlaps pre-processing with the
+    # GPU via a DataLoader worker, test.py:53-76; here decode+warp run
+    # on device, so prefetching the JPEG reads is what's left to hide).
+    from concurrent.futures import ThreadPoolExecutor
+    import cv2
+    pool = ThreadPoolExecutor(2)
+
+    def read(ind):
+        info = dataset.coco.loadImgs([dataset.images[ind]])[0]
+        return cv2.imread(
+            os.path.join(dataset.img_dir, info["file_name"]))
+
+    pending = {0: pool.submit(read, 0)} if num_iters > 0 else {}
+
     for ind in range(num_iters):
         img_id = dataset.images[ind]
         img_info = dataset.coco.loadImgs([img_id])[0]
@@ -62,7 +77,11 @@ def test(cfg, args):
         if cfg.public_det and img_id in load_results:
             meta["cur_dets"] = load_results[img_id]
 
-        ret = detector.run(img_path, meta)
+        image = pending.pop(ind).result() if ind in pending else None
+        if ind + 1 < num_iters:
+            pending[ind + 1] = pool.submit(read, ind + 1)
+        ret = detector.run(image if image is not None else img_path,
+                           meta)
         results[img_id] = ret["results"]
         for k in ("tot", "pre", "net", "post", "track"):
             avg_time[k] = avg_time.get(k, 0.0) + ret[k]

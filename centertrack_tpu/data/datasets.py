@@ -109,6 +109,15 @@ class COCOHP(COCODet):
             self.images = [i for i in image_ids
                            if len(self.coco.getAnnIds(imgIds=[i])) > 0]
 
+    def run_eval(self, results, save_dir):
+        from centertrack_tpu.eval.coco_eval import (evaluate_coco_bbox,
+                                                    evaluate_coco_keypoints)
+        self.save_results(results, save_dir)
+        path = os.path.join(save_dir, "results_coco.json")
+        kpt = evaluate_coco_keypoints(self.coco, path)
+        box = evaluate_coco_bbox(self.coco, path)
+        return {"keypoints": kpt, "bbox": box}
+
     def convert_eval_format(self, all_bboxes):
         """bbox + keypoints results (reference: coco_hp.py:62-92)."""
         detections = []

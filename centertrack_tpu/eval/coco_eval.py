@@ -48,6 +48,150 @@ def _iou_xywh_crowd(dets: np.ndarray, gts: np.ndarray,
     return inter / np.maximum(union, 1e-9)
 
 
+KPT_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+
+def oks_matrix(dets: List[Dict], gts: List[Dict]) -> np.ndarray:
+    """Object-keypoint-similarity matrix (pycocotools computeOks)."""
+    if not dets or not gts:
+        return np.zeros((len(dets), len(gts)))
+    out = np.zeros((len(dets), len(gts)))
+    vars_ = (KPT_SIGMAS * 2) ** 2
+    for gi, g in enumerate(gts):
+        gk = np.array(g["keypoints"]).reshape(-1, 3)
+        xg, yg, vg = gk[:, 0], gk[:, 1], gk[:, 2]
+        k1 = (vg > 0).sum()
+        bb = g["bbox"]
+        x0, x1 = bb[0] - bb[2], bb[0] + 2 * bb[2]
+        y0, y1 = bb[1] - bb[3], bb[1] + 2 * bb[3]
+        area = g.get("area", bb[2] * bb[3])
+        for di, d in enumerate(dets):
+            dk = np.array(d["keypoints"]).reshape(-1, 3)
+            xd, yd = dk[:, 0], dk[:, 1]
+            if k1 > 0:
+                dx = xd - xg
+                dy = yd - yg
+            else:
+                dx = np.maximum(0, np.maximum(x0 - xd, xd - x1))
+                dy = np.maximum(0, np.maximum(y0 - yd, yd - y1))
+            e = (dx ** 2 + dy ** 2) / vars_ / (area + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            out[di, gi] = np.sum(np.exp(-e)) / e.shape[0]
+    return out
+
+
+def evaluate_coco_keypoints(coco_gt, res_path_or_list,
+                            verbose: bool = True) -> Dict[str, float]:
+    """COCO keypoint AP (OKS thresholds .5:.05:.95, maxDets 20,
+    area ranges all/medium/large) — the coco_hp evaluator
+    (reference consumer: src/lib/dataset/datasets/coco_hp.py:94-107).
+    """
+    if isinstance(res_path_or_list, str):
+        with open(res_path_or_list) as f:
+            dets_list = json.load(f)
+    else:
+        dets_list = res_path_or_list
+    dets_by = defaultdict(list)
+    for d in dets_list:
+        if "keypoints" in d:
+            dets_by[d["image_id"]].append(d)
+    gts_by = defaultdict(list)
+    for ann in coco_gt.anns.values():
+        if ann.get("num_keypoints",
+                   int((np.array(ann.get("keypoints", [])).reshape(
+                       -1, 3)[:, 2] > 0).sum()
+                       if ann.get("keypoints") else 0)) >= 0 \
+                and "keypoints" in ann:
+            gts_by[ann["image_id"]].append(ann)
+
+    area_rng = {"all": [0, 1e10], "medium": [32 ** 2, 96 ** 2],
+                "large": [96 ** 2, 1e10]}
+    T = len(IOU_THRS)
+    R = len(REC_THRS)
+    precisions = -np.ones((T, R, len(area_rng)))
+    for ai, (aname, arng) in enumerate(area_rng.items()):
+        scores_all, matched_all = [], {ti: [] for ti in range(T)}
+        ignored_all = {ti: [] for ti in range(T)}
+        n_gt = 0
+        for img in sorted(coco_gt.imgs.keys()):
+            gts = gts_by.get(img, [])
+            dts = sorted(dets_by.get(img, []),
+                         key=lambda d: -d["score"])[:20]
+            if not gts and not dts:
+                continue
+            g_ignore = np.array([
+                (g.get("iscrowd", 0) == 1) or
+                (np.array(g["keypoints"]).reshape(-1, 3)[:, 2]
+                 > 0).sum() == 0 or
+                not (arng[0] <= g.get(
+                    "area", g["bbox"][2] * g["bbox"][3]) <= arng[1])
+                for g in gts], bool) if gts else np.zeros(0, bool)
+            n_gt += int((~g_ignore).sum())
+            if not dts:
+                continue
+            ious = oks_matrix(dts, gts)
+            g_order = np.argsort(g_ignore.astype(int), kind="stable")
+            scores_all.append(np.array([d["score"] for d in dts]))
+            for ti, thr in enumerate(IOU_THRS):
+                taken = np.zeros(len(gts), bool)
+                d_match = np.zeros(len(dts), np.int64)
+                d_ig = np.zeros(len(dts), bool)
+                for di in range(len(dts)):
+                    best, best_iou = -1, min(thr, 1 - 1e-10)
+                    for gi in g_order:
+                        if taken[gi] and not gts[gi].get("iscrowd", 0):
+                            continue
+                        if (best > -1 and not g_ignore[best]
+                                and g_ignore[gi]):
+                            break
+                        if ious[di, gi] < best_iou:
+                            continue
+                        best_iou = ious[di, gi]
+                        best = gi
+                    if best > -1:
+                        taken[best] = True
+                        d_match[di] = 1
+                        d_ig[di] = g_ignore[best]
+                matched_all[ti].append(d_match)
+                ignored_all[ti].append(d_ig)
+        if n_gt == 0 or not scores_all:
+            continue
+        scores = np.concatenate(scores_all)
+        order = np.argsort(-scores, kind="mergesort")
+        for ti in range(T):
+            tm = np.concatenate(matched_all[ti])[order]
+            ig = np.concatenate(ignored_all[ti])[order]
+            tp = np.cumsum((tm == 1) & ~ig)
+            fp = np.cumsum((tm == 0) & ~ig)
+            rc = tp / n_gt
+            pr = tp / np.maximum(tp + fp, 1e-9)
+            for i in range(len(pr) - 1, 0, -1):
+                pr[i - 1] = max(pr[i - 1], pr[i])
+            inds = np.searchsorted(rc, REC_THRS, side="left")
+            q = np.zeros(R)
+            for ri, pi in enumerate(inds):
+                if pi < len(pr):
+                    q[ri] = pr[pi]
+            precisions[ti, :, ai] = q
+
+    def _ap(t=None, a="all"):
+        ai = list(area_rng).index(a)
+        p = (precisions[:, :, ai] if t is None else
+             precisions[[list(IOU_THRS).index(t)], :, ai])
+        p = p[p > -1]
+        return float(p.mean()) if p.size else -1.0
+
+    stats = {"AP": _ap(), "AP50": _ap(0.5), "AP75": _ap(0.75),
+             "APm": _ap(a="medium"), "APl": _ap(a="large")}
+    if verbose:
+        for k, v in stats.items():
+            print(f" kpt {k}: {v:.3f}")
+    return stats
+
+
 def evaluate_coco_bbox(coco_gt, res_path_or_list,
                        verbose: bool = True) -> Dict[str, float]:
     """Returns the 12 standard COCO metrics as a dict; prints the usual

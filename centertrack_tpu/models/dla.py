@@ -237,11 +237,12 @@ class DeformNode(nn.Module):
     features: int
     dtype: object = None
     mode: str = "gather"
+    max_offset: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = DCNLayer(self.features, 3, dtype=self.dtype, mode=self.mode,
-                     name="conv")(x)
+                     max_offset=self.max_offset, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          name="actf_bn")(x)
@@ -279,9 +280,11 @@ def node_types(dla_node: str):
     """(reference: DLA_NODE, dla.py:588-592; 'dcn_local' is this
     repo's gather-free TPU fast path)"""
     local = functools.partial(DeformNode, mode="local")
+    local1 = functools.partial(DeformNode, mode="local", max_offset=1)
     return {
         "dcn": (DeformNode, DeformNode),
         "dcn_local": (local, local),
+        "dcn_local1": (local1, local1),
         "gcn": (ConvNode, GlobalConvNode),
         "conv": (ConvNode, ConvNode),
     }[dla_node]

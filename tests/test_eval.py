@@ -152,3 +152,44 @@ def test_kitti_tracking_gt_vs_gt_is_perfect():
     assert out["car"]["mota"] == 1.0
     assert out["pedestrian"]["mota"] == 1.0
     assert out["car"]["num_switches"] == 0
+
+
+def test_keypoint_eval_perfect():
+    from centertrack_tpu.eval.coco_eval import evaluate_coco_keypoints
+    kps = []
+    for i in range(17):
+        kps += [20 + i, 30 + i, 2]
+    gt = COCO(dataset={
+        "images": [{"id": 1, "width": 100, "height": 100}],
+        "categories": [{"id": 1, "name": "person"}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                         "bbox": [10, 10, 40, 40], "area": 1600,
+                         "iscrowd": 0, "keypoints": kps,
+                         "num_keypoints": 17}],
+    })
+    dets = [{"image_id": 1, "category_id": 1, "score": 0.9,
+             "bbox": [10, 10, 40, 40], "keypoints": kps}]
+    stats = evaluate_coco_keypoints(gt, dets, verbose=False)
+    np.testing.assert_allclose(stats["AP"], 1.0, atol=1e-6)
+
+
+def test_keypoint_eval_jittered():
+    from centertrack_tpu.eval.coco_eval import evaluate_coco_keypoints
+    rng = np.random.RandomState(0)
+    kps, kps_noisy = [], []
+    for i in range(17):
+        x, y = 20 + i, 30 + i
+        kps += [x, y, 2]
+        kps_noisy += [x + 50, y + 50, 2]  # way off
+    gt = COCO(dataset={
+        "images": [{"id": 1, "width": 200, "height": 200}],
+        "categories": [{"id": 1, "name": "person"}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                         "bbox": [10, 10, 40, 40], "area": 1600,
+                         "iscrowd": 0, "keypoints": kps,
+                         "num_keypoints": 17}],
+    })
+    dets = [{"image_id": 1, "category_id": 1, "score": 0.9,
+             "bbox": [10, 10, 40, 40], "keypoints": kps_noisy}]
+    stats = evaluate_coco_keypoints(gt, dets, verbose=False)
+    assert stats["AP"] < 0.1
