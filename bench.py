@@ -34,7 +34,7 @@ def main():
 
     cfg = Config(task="tracking", pre_hm=True, track_thresh=0.1,
                  new_thresh=0.1, max_age=3, compute_dtype="bfloat16",
-                 dla_node="dcn_local")
+                 dla_node="dcn_local1")
     cfg = parse_task(cfg)
     cfg = set_heads(cfg, MOTMeta)
     det = FusedDetector(cfg, dataset_meta=MOTMeta)

@@ -46,6 +46,10 @@ class Config:
     num_workers: int = 4
     # dtype for network compute: 'float32' or 'bfloat16' (params stay fp32)
     compute_dtype: str = "float32"
+    # rematerialize the forward in backward (jax.checkpoint): trades one
+    # extra forward pass for O(model) activation memory — enables much
+    # larger per-chip batches
+    grad_checkpoint: bool = False
 
     # --- model -----------------------------------------------------------
     arch: str = "dla_34"

@@ -89,9 +89,18 @@ class Trainer:
         pre_hm = rendered.get("pre_hm") if cfg.pre_hm else None
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
-            outputs, mutated = self.model.apply(
-                variables, rendered["image"], pre_img, pre_hm,
-                train=True, mutable=["batch_stats"])
+            def fwd(variables, image, pre_img, pre_hm):
+                return self.model.apply(
+                    variables, image, pre_img, pre_hm,
+                    train=True, mutable=["batch_stats"])
+
+            if cfg.grad_checkpoint:
+                # rematerialize activations in the backward pass
+                # (TPU-first replacement for bigger-GPU memory: HBM is
+                # the constraint, MXU FLOPs are cheap)
+                fwd = jax.checkpoint(fwd)
+            outputs, mutated = fwd(variables, rendered["image"],
+                                   pre_img, pre_hm)
             new_bs = mutated["batch_stats"]
         else:
             outputs = self.model.apply(

@@ -1,0 +1,106 @@
+"""Trainer behavior: convergence handled by tools/selftest; here the
+mechanics — lr schedule, grad_checkpoint parity, optimizer switch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from centertrack_tpu.config import Config, parse_task, set_heads
+from centertrack_tpu.engine.trainer import Trainer, make_lr_schedule
+from centertrack_tpu.models.model import create_model, init_model
+from centertrack_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+class Meta:
+    num_categories = 1
+    default_resolution = (32, 32)
+    num_joints = 17
+
+
+def tiny_batch(b=2, m=4):
+    rng = np.random.RandomState(0)
+    return {
+        "image": rng.randn(b, 32, 32, 3).astype(np.float32),
+        "pre_img": rng.randn(b, 32, 32, 3).astype(np.float32),
+        "ind": np.zeros((b, m), np.int64),
+        "cat": np.zeros((b, m), np.int64),
+        "mask": np.ones((b, m), np.float32),
+        "hm_cts": np.full((b, m, 2), 3, np.int32),
+        "hm_radii": np.ones((b, m), np.int32),
+        "hm_valid": np.ones((b, m), bool),
+        "ignore_boxes": np.zeros((b, 2, 4), np.float32),
+        "ignore_cat": np.zeros((b, 2), np.int32),
+        "ignore_valid": np.zeros((b, 2), bool),
+        "pre_cts_int": np.full((b, 2 * m, 2), 8, np.int32),
+        "pre_radii": np.ones((b, 2 * m), np.int32),
+        "pre_ks": np.ones((b, 2 * m), np.float32),
+        "pre_valid": np.ones((b, 2 * m), bool),
+        "reg": np.zeros((b, m, 2), np.float32),
+        "reg_mask": np.ones((b, m, 2), np.float32),
+        "wh": np.ones((b, m, 2), np.float32),
+        "wh_mask": np.ones((b, m, 2), np.float32),
+        "tracking": np.zeros((b, m, 2), np.float32),
+        "tracking_mask": np.ones((b, m, 2), np.float32),
+    }
+
+
+def make_trainer(**cfg_kw):
+    cfg_kw.setdefault("dla_node", "conv")
+    cfg = Config(task="tracking", pre_hm=True, batch_size=2, **cfg_kw)
+    cfg = parse_task(cfg)
+    cfg = set_heads(cfg, Meta)
+    model = create_model(cfg.arch, cfg.heads_dict, cfg.head_convs_dict,
+                         cfg)
+    params, bs = init_model(model, cfg)
+    return Trainer(cfg, model, params, bs, mesh=make_mesh(1)), cfg
+
+
+def test_lr_schedule():
+    cfg = parse_task(Config(task="", lr=1e-3, lr_step=(3, 5)))
+    lr = make_lr_schedule(cfg)
+    assert lr(1) == 1e-3
+    np.testing.assert_allclose(lr(3), 1e-4)
+    np.testing.assert_allclose(lr(5), 1e-5)
+
+
+def test_grad_checkpoint_matches_plain():
+    # pin matmul precision: the default fast-matmul mode rounds
+    # differently across the remat/no-remat fusion variants
+    with jax.default_matmul_precision("float32"):
+        t_plain, cfg = make_trainer(grad_checkpoint=False, seed=1)
+        t_remat, _ = make_trainer(grad_checkpoint=True, seed=1)
+        batch = tiny_batch()
+        sp = shard_batch(batch, t_plain.mesh)
+        s1, l1 = t_plain._train_step(t_plain.state, sp, 1e-4)
+        s2, l2 = t_remat._train_step(t_remat.state, sp, 1e-4)
+        # XLA-CPU's oneDNN matmul rewrite ignores the precision config,
+        # so the remat/no-remat fusion variants round differently; the
+        # check here is semantic (same loss to ~1%, finite grads, params
+        # move the same way), exact parity is verified eagerly in
+        # test_remat_forward_identical.
+        np.testing.assert_allclose(float(l1["tot"]), float(l2["tot"]),
+                                   rtol=0.05)
+        a = jax.tree_util.tree_leaves(s1.params)[0]
+        b = jax.tree_util.tree_leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
+
+
+def test_remat_forward_identical():
+    # eager evaluation: remat wrapper must not change forward values
+    t_plain, _ = make_trainer(grad_checkpoint=False, seed=1)
+    t_remat, _ = make_trainer(grad_checkpoint=True, seed=1)
+    batch = tiny_batch()
+    l1, _ = t_plain._forward_loss(
+        t_plain.state.params, t_plain.state.batch_stats, batch, True)
+    l2, _ = t_remat._forward_loss(
+        t_remat.state.params, t_remat.state.batch_stats, batch, True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_sgd_optimizer():
+    t, cfg = make_trainer(optim="sgd")
+    batch = tiny_batch()
+    sp = shard_batch(batch, t.mesh)
+    s, losses = t._train_step(t.state, sp, 1e-3)
+    assert np.isfinite(float(losses["tot"]))
