@@ -329,6 +329,41 @@ class Detector:
             "track": track_time,
         }
 
+    def show_results(self, image, results, save_dir: str = "debug_out",
+                     prefix: str = "") -> None:
+        """Render detections/tracks with the Debugger
+        (reference: detector.py:402-452). Headless: writes PNGs."""
+        from centertrack_tpu.utils.debugger import Debugger
+        debugger = Debugger(cfg=self.cfg, dataset=self.dataset_meta)
+        debugger.add_img(image, img_id="generic")
+        for item in results:
+            if item["score"] > self.cfg.vis_thresh:
+                if item.get("active", 1) == 0:
+                    continue
+                if "bbox" in item:
+                    debugger.add_coco_bbox(
+                        item["bbox"], item["class"] - 1, item["score"],
+                        img_id="generic")
+                if "tracking" in item:
+                    debugger.add_arrow(item["ct"], item["tracking"],
+                                       img_id="generic")
+                if "tracking_id" in item:
+                    debugger.add_tracking_id(
+                        item["ct"], item["tracking_id"], img_id="generic")
+                if item["class"] in (1, 2) and "hps" in item:
+                    debugger.add_coco_hp(item["hps"], img_id="generic")
+        if results and "dep" in results[0] and "alpha" in results[0] \
+                and "dim" in results[0]:
+            calib = self._get_default_calib(image.shape[1],
+                                            image.shape[0])
+            debugger.add_3d_detection(
+                image, False, results, calib,
+                vis_thresh=self.cfg.vis_thresh, img_id="ddd_pred")
+            debugger.add_bird_view(
+                results, vis_thresh=self.cfg.vis_thresh,
+                img_id="bird_pred", cnt=self.cnt)
+        debugger.save_all_imgs(save_dir, prefix=prefix or str(self.cnt))
+
     def reset_tracking(self) -> None:
         """(reference: detector.py:455-458)"""
         self.tracker.reset()
