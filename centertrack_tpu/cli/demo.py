@@ -20,6 +20,30 @@ from centertrack_tpu.engine.detector import Detector
 IMAGE_EXT = ["jpg", "jpeg", "png", "webp"]
 
 
+class _FusedRunner:
+    """Adapts FusedDetector to the demo loop's Detector.run contract;
+    materializes results with one frame of lag so readback overlaps
+    the next frame's compute."""
+
+    def __init__(self, fused, cfg):
+        self.fused = fused
+        self.cfg = cfg
+        self._pending = None
+
+    def run(self, img, meta=None):
+        import time
+        from centertrack_tpu.engine.fused import FusedDetector
+        t0 = time.time()
+        lazy = self.fused.run(img)
+        prev = self._pending
+        self._pending = lazy
+        results = (FusedDetector.fetch(prev, self.cfg.out_thresh)
+                   if prev is not None else [])
+        return {"results": results, "tot": time.time() - t0,
+                "pre": 0.0, "net": time.time() - t0, "post": 0.0,
+                "track": 0.0}
+
+
 def _draw_results(img, results, vis_thresh=0.3):
     """Minimal overlay: boxes + ids + tracking arrows."""
     out = img.copy()
@@ -43,7 +67,11 @@ def _draw_results(img, results, vis_thresh=0.3):
 
 
 def demo(cfg, args):
-    detector = Detector(cfg)
+    if getattr(args, "fused", False):
+        from centertrack_tpu.engine.fused import FusedDetector
+        detector = _FusedRunner(FusedDetector(cfg), cfg)
+    else:
+        detector = Detector(cfg)
     results = {}
 
     is_video = False
@@ -108,7 +136,12 @@ def demo(cfg, args):
 
 
 def main():
+    import sys as _sys
+    extra = "--fused" in _sys.argv
+    if extra:
+        _sys.argv.remove("--fused")
     cfg, args = parse_demo()
+    args.fused = extra
     if args.demo == "":
         print("usage: demo.py <task> --demo <path>")
         sys.exit(1)
