@@ -16,6 +16,15 @@ docstring), fused into ONE kernel per row-tile:
 Replaces the reference's CUDA DCNv2 extension
 (reference: src/lib/model/networks/DCNv2 submodule, consumed at
 dla.py:513, resdcn.py:244, necks/msraup.py:104).
+
+STATUS: interpret-mode verified against deform_conv2d_local (exact
+parity, see tests/test_dcn_pallas.py). The remote Mosaic compiler in
+this development environment crashes (HTTP 500, no diagnostics) on any
+kernel above ~a-dozen slice-FMA blocks — bisected across plain blocks,
+offset sublane slices and pltpu.roll, so it is a toolchain limit, not a
+kernel construct. ops/dcn.deform_conv2d_local is the production path
+(the whole-model XLA graph fuses it well: 14.6 ms forward+decode at
+544x960); swap this kernel in when the Mosaic stack updates.
 """
 
 from __future__ import annotations
