@@ -14,8 +14,10 @@ TPU-native equivalent as a pure-XLA op structured for the MXU:
 This keeps peak memory at O(B*H*W*C) (no 9x im2col blowup) and puts all
 FLOPs into 9 large matmuls. Offsets/masks come from a regular conv
 computed by the caller. Offset channel layout: interleaved (dy, dx) per
-tap, taps row-major — documented here because it differs from upstream
-DCNv2's (all-dy, all-dx) split; a weight converter must de-interleave.
+tap, taps row-major — the SAME convention upstream DCNv2's CUDA kernel
+uses (its chunk/cat of the offset-mask conv output is a layout no-op;
+the kernel indexes channel 2t as dy, 2t+1 as dx of tap t), so weight
+conversion is identity on these channels.
 
 A Pallas kernel with the same signature can replace `deform_conv2d`
 transparently (see centertrack_tpu/ops/dcn_pallas.py).

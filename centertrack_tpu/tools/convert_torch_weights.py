@@ -9,9 +9,13 @@ Layout conversions:
   * conv weight (O, I, kh, kw)      -> (kh, kw, I, O)
   * depthwise ConvTranspose (C,1,k,k) -> UpBilinear kernel (k,k,1,C)
   * BatchNorm weight/bias/running_* -> bn scale/bias + stats mean/var
-  * DCN conv_offset_mask channels: upstream emits [9xdy, 9xdx, 9xmask]
-    (cat of chunks); this repo interleaves (dy,dx) per tap — channels
-    are permuted accordingly (see ops/dcn.py docstring).
+  * DCN conv_offset_mask channels: IDENTITY. Upstream DCNv2's
+    chunk(3)/cat((o1,o2)) is a layout no-op and its CUDA kernel reads
+    offset channel 2t as dy and 2t+1 as dx of tap t (taps row-major),
+    i.e. already interleaved per tap, with mask in channels 18..26 —
+    exactly the layout ops/dcn.py consumes. Verified numerically in
+    tests/test_torch_parity.py against a torch re-implementation of
+    the CUDA kernel's indexing.
 
 Usage:
   python -m centertrack_tpu.tools.convert_torch_weights \
@@ -32,27 +36,25 @@ def _conv_w(w):
 
 
 def _dcn_offset_mask_w(w):
-    """Permute output channels [9dy, 9dx, 9m] -> [dy0,dx0,...,9m]."""
-    w = np.asarray(w)
-    perm = []
-    for t in range(9):
-        perm += [t, 9 + t]
-    perm += list(range(18, 27))
-    return _conv_w(w[perm])
+    """Upstream offset/mask channel order already matches ops/dcn.py
+    (interleaved (dy,dx) per tap, then 9 mask channels) — only the
+    conv-kernel layout transpose applies. See module docstring."""
+    return _conv_w(np.asarray(w))
 
 
 def _dcn_offset_mask_b(b):
-    b = np.asarray(b)
-    perm = []
-    for t in range(9):
-        perm += [t, 9 + t]
-    perm += list(range(18, 27))
-    return b[perm]
+    return np.asarray(b)
 
 
 def _up_w(w):
-    # torch ConvTranspose2d depthwise: (C, 1, k, k) -> (k, k, 1, C)
-    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+    # torch ConvTranspose2d depthwise (C, 1, k, k) -> (k, k, 1, C),
+    # SPATIALLY FLIPPED: ConvTranspose(x, w, stride s, pad p) ==
+    # Conv(dilate_s(x), flip(w), pad k-1-p), and UpBilinear runs the
+    # latter (cross-correlation over an lhs-dilated input). The
+    # reference's bilinear init is flip-symmetric, so this only shows
+    # up on trained (asymmetric) weights.
+    w = np.transpose(np.asarray(w), (2, 3, 1, 0))
+    return w[::-1, ::-1].copy()
 
 
 class TreeWriter:

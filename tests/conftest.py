@@ -7,11 +7,22 @@ tests need >1 device, so we emulate 8 CPU devices.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD-set (not setdefault): the machine environment may preset
+# JAX_PLATFORMS=axon and a sitecustomize that imports jax at interpreter
+# startup, so we must both override the env and update the live config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+if "jax" in sys.modules:
+    import jax
+
+    try:
+        jax.clear_backends()
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", "cpu")
 # Cheap compiles: model-shape tests spend almost all wall-clock in XLA CPU
 # optimization passes otherwise.
 os.environ.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "true")

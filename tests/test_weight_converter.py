@@ -36,23 +36,11 @@ def _fake_state_dict(params, stats):
         return np.transpose(w, (3, 2, 0, 1))
 
     def inv_offset_w(w):
-        w = inv_conv(w)
-        inv_perm = np.zeros(27, np.int64)
-        perm = []
-        for t in range(9):
-            perm += [t, 9 + t]
-        perm += list(range(18, 27))
-        inv_perm[perm] = np.arange(27)
-        return w[inv_perm]
+        # upstream offset/mask channel order == ours (identity)
+        return inv_conv(w)
 
     def inv_offset_b(b):
-        inv_perm = np.zeros(27, np.int64)
-        perm = []
-        for t in range(9):
-            perm += [t, 9 + t]
-        perm += list(range(18, 27))
-        inv_perm[perm] = np.arange(27)
-        return b[inv_perm]
+        return b
 
     def torch_name(path):
         p = path.replace("backbone/base/", "base.")
