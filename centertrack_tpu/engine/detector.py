@@ -115,8 +115,15 @@ class Detector:
         self._step_fn = {}
 
     # ------------------------------------------------------------------
-    def _get_warp_fn(self, in_shape):
-        if in_shape not in self._warp_fn:
+    def _get_warp_fn(self, in_shape, inp_height=None, inp_width=None):
+        """Jitted warp program, keyed by (raw shape, network input size).
+        ``inp_*`` default to the config resolution (fix_res); keep_res /
+        fix_short paths pass their per-image sizes so the device program
+        and the post-process inverse affine agree."""
+        inp_height = inp_height or self.cfg.input_h
+        inp_width = inp_width or self.cfg.input_w
+        key = (in_shape, inp_height, inp_width)
+        if key not in self._warp_fn:
             cfg = self.cfg
             mean = jnp.asarray(self.mean)
             std = jnp.asarray(self.std)
@@ -124,21 +131,25 @@ class Detector:
 
             @jax.jit
             def warp(frame_u8, inv_trans):
-                img = preprocess_frame(frame_u8, inv_trans, cfg.input_h,
-                                       cfg.input_w, mean, std,
+                img = preprocess_frame(frame_u8, inv_trans, inp_height,
+                                       inp_width, mean, std,
                                        axis_aligned=True)
                 if flip_test:
                     img = jnp.concatenate(
                         [img, jnp.flip(img, axis=2)], axis=0)
                 return img
 
-            self._warp_fn[in_shape] = warp
-        return self._warp_fn[in_shape]
+            self._warp_fn[key] = warp
+        return self._warp_fn[key]
 
-    def _get_step_fn(self, in_shape):
-        """Build the fused per-frame program for a raw-frame shape."""
-        if in_shape in self._step_fn:
-            return self._step_fn[in_shape]
+    def _get_step_fn(self, in_shape, inp_height=None, inp_width=None):
+        """Build the fused per-frame program for a raw-frame shape and
+        network input size."""
+        inp_height = inp_height or self.cfg.input_h
+        inp_width = inp_width or self.cfg.input_w
+        key = (in_shape, inp_height, inp_width)
+        if key in self._step_fn:
+            return self._step_fn[key]
         cfg = self.cfg
         model = self.model
         flip_idx = self.flip_idx
@@ -146,7 +157,7 @@ class Detector:
         use_pre_hm = cfg.pre_hm and cfg.tracking
         flip_test = cfg.flip_test
 
-        warp = self._get_warp_fn(in_shape)
+        warp = self._get_warp_fn(in_shape, inp_height, inp_width)
 
         @jax.jit
         def step(params, batch_stats, frame_u8, inv_trans, pre_images,
@@ -154,7 +165,7 @@ class Detector:
             images = warp(frame_u8, inv_trans)
             pre_hm = None
             if use_pre_hm:
-                hm = render_pre_hm(cfg.input_h, cfg.input_w, track_cts,
+                hm = render_pre_hm(inp_height, inp_width, track_cts,
                                    track_radii,
                                    jnp.ones_like(track_radii, jnp.float32),
                                    track_valid)[None]
@@ -177,9 +188,18 @@ class Detector:
                 keep = batched_nms(dets["bboxes"], dets["scores"],
                                    dets["clses"])
                 dets["scores"] = jnp.where(keep, dets["scores"], 0.0)
+                # post-process treats rows as score-sorted (prefix cut
+                # at out_thresh); suppression zeroed scores mid-array,
+                # so restore the invariant on device
+                order = jnp.argsort(-dets["scores"], axis=1)
+                dets = {
+                    k: jnp.take_along_axis(
+                        v, order.reshape(
+                            order.shape + (1,) * (v.ndim - 2)), axis=1)
+                    for k, v in dets.items()}
             return images, dets
 
-        self._step_fn[in_shape] = step
+        self._step_fn[key] = step
         return step
 
     # ------------------------------------------------------------------
@@ -283,12 +303,12 @@ class Detector:
                  else self._get_default_calib(width, height))
 
         in_shape = image.shape
-        step = self._get_step_fn(in_shape)
+        step = self._get_step_fn(in_shape, inp_height, inp_width)
         frame_dev = jnp.asarray(image)
 
         # tracking state
         if cfg.tracking and self.pre_images is None:
-            warp = self._get_warp_fn(in_shape)
+            warp = self._get_warp_fn(in_shape, inp_height, inp_width)
             self.pre_images = warp(frame_dev, jnp.asarray(inv_trans_input))
             self.tracker.init_track(meta.get("pre_dets", []))
         track_cts, track_radii, track_valid = self._track_arrays(
@@ -298,8 +318,17 @@ class Detector:
         t0 = time.time()
         pre_images = (self.pre_images if self.pre_images is not None
                       else jnp.zeros(
-                          (2 if cfg.flip_test else 1, cfg.input_h,
-                           cfg.input_w, 3), jnp.float32))
+                          (2 if cfg.flip_test else 1, inp_height,
+                           inp_width, 3), jnp.float32))
+        if cfg.tracking and self.pre_images is not None and \
+                tuple(self.pre_images.shape[1:3]) != (inp_height, inp_width):
+            # keep_res sizes vary per image; the temporal model needs a
+            # constant resolution within one tracked sequence
+            raise ValueError(
+                "input resolution changed mid-sequence "
+                f"({tuple(self.pre_images.shape[1:3])} -> "
+                f"{(inp_height, inp_width)}); call reset_tracking() at "
+                "video boundaries or use fix_res")
         images, dets_dev = step(
             self.params, self.batch_stats, frame_dev,
             jnp.asarray(inv_trans_input), pre_images,

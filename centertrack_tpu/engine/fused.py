@@ -199,8 +199,10 @@ class FusedDetector:
         host = {k: np.asarray(v) for k, v in results.items()}
         out = []
         for i in range(len(host["scores"])):
+            # filter (not break): robust to any future score-mutating
+            # step between decode and fetch breaking the sort order
             if host["scores"][i] <= out_thresh:
-                break
+                continue
             if host["tracking_id"][i] <= 0:
                 continue
             out.append({

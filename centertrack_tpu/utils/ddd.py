@@ -68,6 +68,27 @@ def ddd2locrot(center, alpha, dim, depth, calib):
     return locations, rotation_y
 
 
+def ddd2locrot_batch(centers, alphas, dims, depths, calib):
+    """Batched 3D lift: (N,2) amodal centers + (N,) alpha + (N,3) dim +
+    (N,) depth -> ((N,3) locations, (N,) yaw). Same math as
+    ``ddd2locrot`` applied row-wise, expressed as array ops so the
+    post-process stage does one call per image instead of one per box.
+    """
+    centers = np.asarray(centers, np.float32).reshape(-1, 2)
+    depths = np.asarray(depths, np.float32).reshape(-1)
+    dims = np.asarray(dims, np.float32).reshape(-1, 3)
+    alphas = np.asarray(alphas, np.float32).reshape(-1)
+    z = depths - calib[2, 3]
+    x = (centers[:, 0] * depths - calib[0, 3] - calib[0, 2] * z) / calib[0, 0]
+    y = (centers[:, 1] * depths - calib[1, 3] - calib[1, 2] * z) / calib[1, 1]
+    y = y + dims[:, 0] / 2  # ground-plane anchor, as in ddd2locrot
+    locs = np.stack([x, y, z], axis=1)
+    rot_y = alphas + np.arctan2(centers[:, 0] - calib[0, 2], calib[0, 0])
+    rot_y = np.where(rot_y > np.pi, rot_y - 2 * np.pi, rot_y)
+    rot_y = np.where(rot_y < -np.pi, rot_y + 2 * np.pi, rot_y)
+    return locs.astype(np.float32), rot_y.astype(np.float32)
+
+
 def project_3d_bbox(location, dim, rotation_y, calib):
     """(reference: ddd_utils.py:138-141)"""
     return project_to_image(compute_box_3d(dim, location, rotation_y), calib)
