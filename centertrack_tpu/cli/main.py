@@ -44,7 +44,8 @@ def main(argv=None):
     trainer = Trainer(cfg, model, params, batch_stats)
     if load_path and os.path.exists(load_path):
         ckpt = load_model(load_path, params, batch_stats,
-                          trainer.state.opt_state)
+                          trainer.state.opt_state,
+                          reset_hm=cfg.reset_hm, reuse_hm=cfg.reuse_hm)
         start_epoch = ckpt["epoch"]
         trainer.state = trainer.state._replace(
             params=ckpt["params"], batch_stats=ckpt["batch_stats"],

@@ -83,6 +83,9 @@ class Config:
     val_intervals: int = 10000
     ltrb: bool = False
     ltrb_weight: float = 0.1
+    # checkpoint shape-drift handling in load_model (reference:
+    # model.py:46-71): reset_hm re-inits hm heads loaded from a generic
+    # 80/1-class pretrain; reuse_hm copies overlapping class channels
     reset_hm: bool = False
     reuse_hm: bool = False
     dense_reg: int = 1

@@ -98,7 +98,9 @@ class Detector:
         if params is None:
             if cfg.load_model:
                 tmpl_p, tmpl_b = init_model(self.model, cfg)
-                ckpt = load_model(cfg.load_model, tmpl_p, tmpl_b)
+                ckpt = load_model(cfg.load_model, tmpl_p, tmpl_b,
+                                  reset_hm=cfg.reset_hm,
+                                  reuse_hm=cfg.reuse_hm)
                 params, batch_stats = ckpt["params"], ckpt["batch_stats"]
             else:
                 params, batch_stats = init_model(self.model, cfg)

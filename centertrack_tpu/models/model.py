@@ -140,21 +140,91 @@ def save_model(path: str, epoch: int, params, batch_stats,
         pickle.dump(payload, f)
 
 
+def _out_axis(path: Tuple[str, ...], arr) -> int:
+    """Axis holding output channels: last for conv kernels, 0 for
+    bias/scale/BN-stat vectors."""
+    return arr.ndim - 1 if path and path[-1] == "kernel" else 0
+
+
+def _is_hm_head(path: Tuple[str, ...]) -> bool:
+    """Heads whose name starts with 'hm' (hm, hm_hp) — the reference
+    gates reset_hm on flat names 'hm*' (reference: model.py:49-50)."""
+    return len(path) >= 2 and path[0] == "heads" and \
+        path[1].startswith("hm")
+
+
+def _merge_tree(tmpl, loaded, reset_hm: bool, reuse_hm: bool,
+                log: list, path: Tuple[str, ...] = ()):
+    """Checkpoint tree -> template tree with reference shape-drift
+    tolerance (reference: model.py:46-71): mismatched (or reset_hm'd
+    generic-pretrain hm) leaves are skipped, or class-channel overlap
+    is copied when reuse_hm."""
+    import numpy as np
+
+    if not isinstance(tmpl, dict):
+        want = np.asarray(tmpl)
+        got = np.asarray(loaded)
+        axis = _out_axis(path, want)
+        force_reset = (reset_hm and _is_hm_head(path) and
+                       got.shape[axis] in (80, 1))
+        if got.shape == want.shape and not force_reset:
+            return got.astype(want.dtype)
+        if reuse_hm and got.shape[:axis] == want.shape[:axis] and \
+                got.shape[axis + 1:] == want.shape[axis + 1:]:
+            n = min(got.shape[axis], want.shape[axis])
+            out = np.array(want)
+            sl = tuple(slice(None) if a != axis else slice(0, n)
+                       for a in range(want.ndim))
+            out[sl] = got[sl]
+            log.append(f"Reusing parameter {'/'.join(path)}: "
+                       f"loaded {got.shape} -> required {want.shape}")
+            return out.astype(want.dtype)
+        log.append(f"Skip loading parameter {'/'.join(path)}: "
+                   f"loaded {got.shape}, required {want.shape}")
+        return np.asarray(want)
+    out = {}
+    for k, v in tmpl.items():
+        if not isinstance(loaded, dict) or k not in loaded:
+            log.append(f"No param {'/'.join(path + (k,))}")
+            out[k] = v
+        else:
+            out[k] = _merge_tree(v, loaded[k], reset_hm, reuse_hm, log,
+                                 path + (k,))
+    if isinstance(loaded, dict):
+        for k in loaded:
+            if k not in tmpl:
+                log.append(f"Drop parameter {'/'.join(path + (k,))}")
+    return out
+
+
 def load_model(path: str, params_template=None, batch_stats_template=None,
-               opt_state_template=None):
-    """Load a checkpoint saved by save_model. If templates are given, the
-    state dicts are restored onto them (shape-checked); otherwise raw
-    dicts are returned (reference: model.py:31-90 tolerates prefix and
-    shape drift; strictness is fine here because arch strings fully
-    determine shapes)."""
+               opt_state_template=None, reset_hm: bool = False,
+               reuse_hm: bool = False, verbose: bool = True):
+    """Load a checkpoint saved by save_model. If templates are given,
+    the state dicts are restored onto them with the reference's
+    shape-drift tolerance (reference: model.py:31-90): leaves missing
+    from the checkpoint keep their fresh init, mismatched shapes are
+    skipped, ``reuse_hm`` copies the overlapping class channels, and
+    ``reset_hm`` re-initializes hm heads loaded from a generic 80/1
+    class pretrain. Without templates, raw dicts are returned."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
     out = {"epoch": payload.get("epoch", 0)}
     if params_template is not None:
+        log: list = []
+        p_tmpl = flax.serialization.to_state_dict(params_template)
+        b_tmpl = flax.serialization.to_state_dict(batch_stats_template)
+        merged_p = _merge_tree(p_tmpl, payload["params"], reset_hm,
+                               reuse_hm, log)
+        merged_b = _merge_tree(b_tmpl, payload["batch_stats"], reset_hm,
+                               reuse_hm, log)
+        if verbose:
+            for line in log:
+                print(line)
         out["params"] = flax.serialization.from_state_dict(
-            params_template, payload["params"])
+            params_template, merged_p)
         out["batch_stats"] = flax.serialization.from_state_dict(
-            batch_stats_template, payload["batch_stats"])
+            batch_stats_template, merged_b)
         if opt_state_template is not None and "opt_state" in payload:
             out["opt_state"] = flax.serialization.from_state_dict(
                 opt_state_template, payload["opt_state"])
