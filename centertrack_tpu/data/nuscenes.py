@@ -202,10 +202,95 @@ class NuScenes(GenericDataset):
             json.dump(self.convert_eval_format(results), f)
         return path
 
+    def _gt_global(self):
+        """Lift the COCO-format GT annotations (camera frame, from
+        tools/convert_nuscenes.py) to global-frame box dicts with the
+        SAME transform chain convert_eval_format applies to
+        predictions, so evaluator matching is consistent. Returns
+        (gt: sample_token -> [box], scenes: ordered token lists).
+
+        Instances visible from several cameras are deduplicated per
+        sample (by track_id when present, else by global position).
+        """
+        gt: Dict[str, List[dict]] = {}
+        seen: Dict[str, set] = {}
+        frames = []  # (video_id, frame_id, sample_token)
+        for image_id in self.images:
+            info = self.coco.loadImgs([image_id])[0]
+            token = info["sample_token"]
+            trans_matrix = np.array(info["trans_matrix"], np.float32)
+            frames.append((info.get("video_id", 0),
+                           info.get("frame_id", 0), token))
+            gt.setdefault(token, [])
+            seen.setdefault(token, set())
+            for ann in self.coco.loadAnns(
+                    self.coco.getAnnIds(imgIds=[image_id])):
+                cat = int(ann["category_id"])
+                if cat <= 0 or cat > self.num_categories:
+                    continue
+                name = self.class_name[cat - 1]
+                if "location" not in ann or "dim" not in ann:
+                    continue
+                loc = np.asarray(ann["location"], np.float32)
+                dim = [float(d) for d in ann["dim"]]  # h, w, l
+                size = [dim[1], dim[2], dim[0]]
+                translation = trans_matrix @ np.array(
+                    [loc[0], loc[1] - size[2], loc[2], 1], np.float32)
+                rot_cam = Quat(axis=[0, 1, 0],
+                               angle=float(ann.get("rotation_y", 0.0)))
+                q = Quat(info["pose_record_rot"]) * (
+                    Quat(info["cs_record_rot"]) * rot_cam)
+                from centertrack_tpu.eval.nuscenes_eval import quat_to_yaw
+                key = ("t", ann["track_id"]) if "track_id" in ann else \
+                    ("p", round(float(translation[0]), 1),
+                     round(float(translation[1]), 1), name)
+                if key in seen[token]:
+                    continue
+                seen[token].add(key)
+                gt[token].append({
+                    "translation": [float(v) for v in translation[:3]],
+                    "size": size,
+                    "yaw": quat_to_yaw(q.q),
+                    "detection_name": name,
+                    "tracking_name": name,
+                    "tracking_id": ann.get("track_id", 0),
+                })
+        # scene structure: unique tokens per video, frame-ordered
+        frames.sort()
+        scenes: Dict[int, List[str]] = {}
+        for vid, _, token in frames:
+            toks = scenes.setdefault(vid, [])
+            if not toks or toks[-1] != token:
+                toks.append(token)
+        return gt, list(scenes.values())
+
     def run_eval(self, results, save_dir):
+        """Hermetic nuScenes evaluation: writes the submission json AND
+        computes mAP (detection) or AMOTA/AMOTP (tracking) in-process
+        (reference: nuscenes.py:202-221 shells out to the devkit)."""
+        from centertrack_tpu.eval.nuscenes_eval import (
+            detection_metrics, quat_to_yaw, tracking_metrics)
         task = "tracking" if self.cfg.tracking else "det"
         path = self.save_results(results, save_dir, task)
-        print(f"nuScenes results written to {path}; run the official "
-              f"nuscenes-devkit evaluator on this submission file for "
-              f"mAP/AMOTA (devkit not vendored in this environment).")
-        return path
+        with open(path) as f:
+            submission = json.load(f)["results"]
+        pred: Dict[str, List[dict]] = {}
+        for token, boxes in submission.items():
+            pred[token] = []
+            for b in boxes:
+                b = dict(b)
+                b["yaw"] = quat_to_yaw(b["rotation"])
+                pred[token].append(b)
+        gt, scenes = self._gt_global()
+        if self.cfg.tracking:
+            metrics = tracking_metrics(scenes, gt, pred)
+            print(f"nuScenes tracking: AMOTA {metrics['amota']:.4f} "
+                  f"AMOTP {metrics['amotp']:.4f}")
+        else:
+            metrics = detection_metrics(gt, pred, self.class_name)
+            print(f"nuScenes detection: mAP {metrics['mean_ap']:.4f} "
+                  f"NDS {metrics['nds']:.4f}")
+        out_path = os.path.join(save_dir, f"metrics_nuscenes_{task}.json")
+        with open(out_path, "w") as f:
+            json.dump(metrics, f, indent=2, default=float)
+        return metrics

@@ -76,11 +76,17 @@ class MOTAccumulator:
         self.id_overlap = defaultdict(int)      # (gt_id, hyp_id) -> frames
         self.hyp_frames = defaultdict(int)
 
-    def update(self, gt_ids: List, gt_boxes, hyp_ids: List, hyp_boxes):
+    def update(self, gt_ids: List, gt_boxes, hyp_ids: List, hyp_boxes,
+               dist: Optional[np.ndarray] = None):
+        """``dist`` overrides the default IoU distance with a custom
+        (num_gt, num_hyp) matrix (NaN = invalid pair) — e.g. the
+        nuScenes evaluator's ground-plane center distance."""
         gt_ids = list(gt_ids)
         hyp_ids = list(hyp_ids)
-        dist = iou_distance(gt_boxes, hyp_boxes) if gt_ids and hyp_ids \
-            else np.zeros((len(gt_ids), len(hyp_ids)))
+        if dist is None:
+            dist = iou_distance(gt_boxes, hyp_boxes) \
+                if gt_ids and hyp_ids \
+                else np.zeros((len(gt_ids), len(hyp_ids)))
         self.num_objects += len(gt_ids)
         self.num_hyps += len(hyp_ids)
         for g in gt_ids:
