@@ -27,37 +27,41 @@ from centertrack_tpu.ops.affine import affine_transform, get_affine_transform
 from centertrack_tpu.ops.gaussian import gaussian_radius, draw_umich_gaussian
 
 
-def color_aug(data_rng, image, eig_val, eig_vec):
-    """CornerNet color augmentation (reference: utils/image.py:211-243).
-    image: float32 HWC in [0,1], modified in place."""
-    def grayscale(img):
-        return cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+def color_aug(data_rng, image, eig_val, eig_vec, var=0.4):
+    """CornerNet-style photometric jitter, fused into one array pass.
 
-    def blend(alpha, img1, img2):
-        img1 *= alpha
-        img2 *= (1 - alpha)
-        img1 += img2
+    Semantically equivalent to the reference (utils/image.py:211-243),
+    which mutates the image three times (brightness/contrast/saturation
+    in random order) and then adds PCA lighting noise. Each of those ops
+    is affine in the ORIGINAL image I and its grayscale G:
 
-    def saturation(var):
+        brightness(a): out = a*out
+        contrast(a):   out = a*out + (1-a)*mean(G)
+        saturation(a): out = a*out + (1-a)*G
+
+    so the whole permutation folds into scalar coefficients
+    (ci, cg, cb) with  out = ci*I + cg*G + cb + lighting  — a single
+    fused expression instead of three full-image passes. The RNG stream
+    (permutation, three uniforms in permuted order, one normal(3)) is
+    drawn identically to the reference, so outputs match bit-for-bit up
+    to float associativity.
+
+    Returns the augmented image (float32 HWC, same scale as input).
+    """
+    gray = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+    gray_mean = float(gray.mean())
+    # fold the randomly-ordered affine ops into (ci, cg, cb)
+    ci, cg, cb = 1.0, 0.0, 0.0
+    for op in data_rng.permutation(3):
         alpha = 1.0 + data_rng.uniform(low=-var, high=var)
-        blend(alpha, image, np.repeat(gs[:, :, None], 3, axis=2))
-
-    def brightness(var):
-        alpha = 1.0 + data_rng.uniform(low=-var, high=var)
-        np.multiply(image, alpha, out=image)
-
-    def contrast(var):
-        alpha = 1.0 + data_rng.uniform(low=-var, high=var)
-        blend(alpha, image, np.full_like(image, gs_mean))
-
-    gs = grayscale(image)
-    gs_mean = gs.mean()
-    functions = [brightness, contrast, saturation]
-    order = data_rng.permutation(3)
-    for i in order:
-        functions[i](0.4)
-    image += np.dot(eig_vec, eig_val * data_rng.normal(scale=0.1, size=(3,))
-                    ).astype(np.float32)
+        ci, cg, cb = alpha * ci, alpha * cg, alpha * cb
+        if op == 1:    # contrast: blend toward the gray mean
+            cb += (1.0 - alpha) * gray_mean
+        elif op == 2:  # saturation: blend toward per-pixel gray
+            cg += 1.0 - alpha
+    lighting = eig_vec @ (eig_val * data_rng.normal(scale=0.1, size=(3,)))
+    return (ci * image + cg * gray[:, :, None] +
+            (cb + lighting).astype(np.float32)).astype(np.float32)
 
 
 class GenericDataset:
@@ -208,34 +212,34 @@ class GenericDataset:
         img_id = self.images[index]
         return self._load_image_anns(img_id, self.coco, self.img_dir)
 
+    def _pre_frame_candidates(self, video_id, frame_id, sensor_id, lo, hi):
+        """Frames of the same video/sensor whose frame distance to
+        `frame_id` lies in [lo, hi]."""
+        return [(info["id"], info["frame_id"])
+                for info in self.video_to_images[video_id]
+                if lo <= info["frame_id"] - frame_id <= hi
+                and info.get("sensor_id", sensor_id) == sensor_id]
+
     def _load_pre_data(self, video_id, frame_id, sensor_id=1):
-        """Sample the 'previous' frame (reference:
-        generic_dataset.py:179-202): random nearby frame in training,
-        exact previous frame at test."""
-        img_infos = self.video_to_images[video_id]
+        """Pick and load the 'previous' frame (reference semantics:
+        generic_dataset.py:179-202). Training samples uniformly within
+        +/-(max_frame_dist-1) — including the frame itself — which is
+        the temporal augmentation the tracker is trained under; eval
+        deterministically uses frame_id-1, falling back to the frame
+        itself at video starts."""
         if "train" in self.split:
-            img_ids = [(info["id"], info["frame_id"]) for info in img_infos
-                       if abs(info["frame_id"] - frame_id)
-                       < self.cfg.max_frame_dist and
-                       (("sensor_id" not in info) or
-                        info["sensor_id"] == sensor_id)]
+            d = self.cfg.max_frame_dist - 1
+            cands = self._pre_frame_candidates(
+                video_id, frame_id, sensor_id, -d, d)
         else:
-            img_ids = [(info["id"], info["frame_id"]) for info in img_infos
-                       if (info["frame_id"] - frame_id) == -1 and
-                       (("sensor_id" not in info) or
-                        info["sensor_id"] == sensor_id)]
-            if len(img_ids) == 0:
-                img_ids = [(info["id"], info["frame_id"])
-                           for info in img_infos
-                           if (info["frame_id"] - frame_id) == 0 and
-                           (("sensor_id" not in info) or
-                            info["sensor_id"] == sensor_id)]
-        rand_id = np.random.choice(len(img_ids))
-        img_id, pre_frame_id = img_ids[rand_id]
-        frame_dist = abs(frame_id - pre_frame_id)
+            cands = (self._pre_frame_candidates(
+                         video_id, frame_id, sensor_id, -1, -1) or
+                     self._pre_frame_candidates(
+                         video_id, frame_id, sensor_id, 0, 0))
+        img_id, pre_frame_id = cands[np.random.choice(len(cands))]
         img, anns, _, _ = self._load_image_anns(img_id, self.coco,
                                                 self.img_dir)
-        return img, anns, frame_dist
+        return img, anns, abs(frame_id - pre_frame_id)
 
     def _get_pre_dets(self, anns, trans_input, trans_output):
         """Previous-frame centers with simulated tracker noise
@@ -303,66 +307,102 @@ class GenericDataset:
                   "pre_ks": ks, "pre_valid": valid}
         return splats, pre_cts, track_ids
 
-    def _get_border(self, border, size):
-        i = 1
-        while size - border // i <= border // i:
-            i *= 2
-        return border // i
+    @staticmethod
+    def _safe_crop_margin(border, size):
+        """Largest margin of the form border//2^k that leaves a
+        non-empty randint range inside `size` (reference semantics of
+        generic_dataset.py:258-262, expressed as a halving search)."""
+        margin = border
+        div = 1
+        while size <= 2 * margin:
+            div *= 2
+            margin = border // div
+        return margin
 
     def _get_aug_param(self, c, s, width, height, disturb=False):
-        """(reference: generic_dataset.py:264-286)"""
+        """Sample the geometric augmentation (center, scale factor,
+        rotation). Two regimes, matching reference
+        generic_dataset.py:264-286:
+
+          * random-crop (training default): scale drawn from the
+            discrete ladder {0.6..1.3}, center uniform inside a safe
+            margin;
+          * jitter (``not_rand_crop`` or the pre-frame ``disturb``
+            pass): Gaussian shift proportional to the image scale and a
+            Gaussian scale factor, both clipped to 2 sigma.
+
+        NOTE the reference's own jitter branch has a list*float type
+        bug when s is scalar; the semantics here are the intended ones.
+        The RNG consumption order is kept identical for reproducibility.
+        """
         cfg = self.cfg
-        if (not cfg.not_rand_crop) and not disturb:
-            aug_s = np.random.choice(np.arange(0.6, 1.4, 0.1))
-            w_border = self._get_border(128, width)
-            h_border = self._get_border(128, height)
-            c[0] = np.random.randint(low=w_border, high=width - w_border)
-            c[1] = np.random.randint(low=h_border, high=height - h_border)
+        use_crop = (not cfg.not_rand_crop) and not disturb
+        if use_crop:
+            scale_ladder = np.arange(0.6, 1.4, 0.1)
+            aug_s = np.random.choice(scale_ladder)
+            margins = [self._safe_crop_margin(128, d)
+                       for d in (width, height)]
+            c[:] = [np.random.randint(low=m, high=d - m)
+                    for m, d in zip(margins, (width, height))]
         else:
-            # Shift/scale jitter. The reference's own code here
-            # (generic_dataset.py:272-278) trips a list*float type bug when
-            # s is scalar; this is the intended semantics.
-            sf = cfg.scale
-            cf = cfg.shift
-            s_arr = (np.array([s, s], np.float32)
-                     if np.isscalar(s) else np.asarray(s, np.float32))
-            c[0] += s_arr[0] * np.clip(
-                np.random.randn() * cf, -2 * cf, 2 * cf)
-            c[1] += s_arr[1] * np.clip(
-                np.random.randn() * cf, -2 * cf, 2 * cf)
-            aug_s = np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
+            s_wh = np.broadcast_to(
+                np.asarray(s, np.float32).ravel(), (2,))
+            shift = np.clip(np.random.randn(2) * cfg.shift,
+                            -2 * cfg.shift, 2 * cfg.shift)
+            c += s_wh * shift
+            aug_s = np.clip(np.random.randn() * cfg.scale + 1,
+                            1 - cfg.scale, 1 + cfg.scale)
+        rot = 0
         if np.random.random() < cfg.aug_rot:
-            rf = cfg.rotate
-            rot = np.clip(np.random.randn() * rf, -rf * 2, rf * 2)
-        else:
-            rot = 0
+            rot = np.clip(np.random.randn() * cfg.rotate,
+                          -2 * cfg.rotate, 2 * cfg.rotate)
         return c, aug_s, rot
 
+    def _joint_flip_perm(self):
+        """Left<->right joint permutation derived from flip_idx."""
+        perm = np.arange(self.num_joints)
+        pairs = np.asarray(self.flip_idx, np.int64)
+        perm[pairs[:, 0]], perm[pairs[:, 1]] = pairs[:, 1], pairs[:, 0]
+        return perm
+
     def _flip_anns(self, anns, width):
-        """(reference: generic_dataset.py:289-314)"""
+        """Horizontally mirror every annotation field, vectorized per
+        field across all objects (reference semantics:
+        generic_dataset.py:289-314, which loops object-by-object)."""
         heads = self.cfg.heads_dict
-        for k in range(len(anns)):
-            bbox = anns[k]["bbox"]
-            anns[k]["bbox"] = [
-                width - bbox[0] - 1 - bbox[2], bbox[1], bbox[2], bbox[3]]
-            if "hps" in heads and "keypoints" in anns[k]:
-                keypoints = np.array(
-                    anns[k]["keypoints"], np.float32).reshape(
-                    self.num_joints, 3)
-                keypoints[:, 0] = width - keypoints[:, 0] - 1
-                for e in self.flip_idx:
-                    keypoints[e[0]], keypoints[e[1]] = \
-                        keypoints[e[1]].copy(), keypoints[e[0]].copy()
-                anns[k]["keypoints"] = keypoints.reshape(-1).tolist()
-            if "rot" in heads and "alpha" in anns[k]:
-                anns[k]["alpha"] = (np.pi - anns[k]["alpha"]
-                                    if anns[k]["alpha"] > 0
-                                    else -np.pi - anns[k]["alpha"])
-            if "amodel_offset" in heads and "amodel_center" in anns[k]:
-                anns[k]["amodel_center"][0] = \
-                    width - anns[k]["amodel_center"][0] - 1
-            if self.cfg.velocity and "velocity" in anns[k]:
-                anns[k]["velocity"] = [-10000, -10000, -10000]
+        if anns:
+            boxes = np.array([a["bbox"] for a in anns], np.float64)
+            boxes[:, 0] = width - 1 - boxes[:, 0] - boxes[:, 2]
+            for a, b in zip(anns, boxes):
+                a["bbox"] = b.tolist()
+
+        if "hps" in heads:
+            with_kps = [a for a in anns if "keypoints" in a]
+            if with_kps:
+                kps = np.array([a["keypoints"] for a in with_kps],
+                               np.float32).reshape(-1, self.num_joints, 3)
+                kps[..., 0] = width - 1 - kps[..., 0]
+                kps = kps[:, self._joint_flip_perm()]
+                for a, pts in zip(with_kps, kps):
+                    a["keypoints"] = pts.reshape(-1).tolist()
+
+        if "rot" in heads:
+            # alpha in (-pi, pi]: mirror about the camera axis
+            for a in anns:
+                if "alpha" in a:
+                    sign = 1.0 if a["alpha"] > 0 else -1.0
+                    a["alpha"] = sign * np.pi - a["alpha"]
+
+        if "amodel_offset" in heads:
+            for a in anns:
+                if "amodel_center" in a:
+                    a["amodel_center"][0] = width - 1 - a["amodel_center"][0]
+
+        if self.cfg.velocity:
+            # 3D velocity is unrecoverable after a 2D flip; invalidate
+            for a in anns:
+                if "velocity" in a:
+                    a["velocity"] = [-10000, -10000, -10000]
         return anns
 
     def _get_input(self, img, trans_input):
@@ -373,7 +413,8 @@ class GenericDataset:
                              flags=cv2.INTER_LINEAR)
         inp = inp.astype(np.float32) / 255.0
         if self.split == "train" and not cfg.no_color_aug:
-            color_aug(self._data_rng, inp, self._eig_val, self._eig_vec)
+            inp = color_aug(self._data_rng, inp, self._eig_val,
+                            self._eig_vec)
         inp = (inp - self.mean) / self.std
         return inp
 
@@ -570,74 +611,82 @@ class GenericDataset:
                 ret["amodel_offset"][k] = amodel_center - ct_int
 
     def _add_hps(self, ret, k, ann, trans_output, ct_int, bbox, h, w):
-        """(reference: generic_dataset.py:517-554)"""
+        """Keypoint targets for object k, computed for all joints at
+        once (reference semantics: generic_dataset.py:517-554, which
+        iterates joint-by-joint).
+
+        Joint classes:
+          * visible (v>1) and in-bounds  -> full regression + splat;
+          * labeled-invisible (v==1), in -> splat peak forced to
+            ignore_val, excluded from hp_offset/hm_hp losses;
+          * unlabeled (v<=0)             -> the whole object box becomes
+            an ignore region in that joint's hm_hp channel.
+        """
         cfg = self.cfg
-        num_joints = self.num_joints
-        pts = (np.array(ann["keypoints"], np.float32).reshape(num_joints, 3)
-               if "keypoints" in ann
-               else np.zeros((num_joints, 3), np.float32))
-        hp_radius = gaussian_radius((math.ceil(h), math.ceil(w)))
-        hp_radius = max(0, int(hp_radius))
-        for j in range(num_joints):
-            idx = k * num_joints + j
-            pts[j, :2] = affine_transform(pts[j, :2], trans_output)
-            if pts[j, 2] > 0:
-                if (0 <= pts[j, 0] < cfg.output_w and
-                        0 <= pts[j, 1] < cfg.output_h):
-                    ret["hps"][k, j * 2: j * 2 + 2] = pts[j, :2] - ct_int
-                    ret["hps_mask"][k, j * 2: j * 2 + 2] = 1
-                    pt_int = pts[j, :2].astype(np.int32)
-                    ret["hp_offset"][idx] = pts[j, :2] - pt_int
-                    ret["hp_ind"][idx] = (pt_int[1] * cfg.output_w
-                                          + pt_int[0])
-                    ret["hp_offset_mask"][idx] = 1
-                    ret["hm_hp_mask"][idx] = 1
-                    ret["joint"][idx] = j
-                    ret["hm_hp_cts"][idx] = pt_int
-                    ret["hm_hp_radii"][idx] = hp_radius
-                    ret["hm_hp_joint"][idx] = j
-                    ret["hm_hp_splat_valid"][idx] = True
-                    if pts[j, 2] == 1:
-                        # labeled-invisible: peak forced to ignore_val and
-                        # excluded from the loss (reference :543-546)
-                        ret["hm_hp_point_ignore"][idx] = pt_int
-                        ret["hm_hp_point_ignore_joint"][idx] = j
-                        ret["hm_hp_point_ignore_valid"][idx] = True
-                        ret["hp_offset_mask"][idx] = 0
-                        ret["hm_hp_mask"][idx] = 0
-                else:
-                    pts[j, :2] *= 0
-            else:
-                pts[j, :2] *= 0
-                if self._num_hp_ignore < self.max_ignore_regions:
-                    i = self._num_hp_ignore
-                    ret["hm_hp_ignore_boxes"][i] = bbox
-                    ret["hm_hp_ignore_joint"][i] = j
-                    ret["hm_hp_ignore_valid"][i] = True
-                    self._num_hp_ignore += 1
+        nj = self.num_joints
+        pts = (np.array(ann["keypoints"], np.float32).reshape(nj, 3)
+               if "keypoints" in ann else np.zeros((nj, 3), np.float32))
+        # one matmul transforms every joint to output coords
+        xy = pts[:, :2] @ trans_output[:, :2].T + trans_output[:, 2]
+        labeled = pts[:, 2] > 0
+        in_bounds = ((xy[:, 0] >= 0) & (xy[:, 0] < cfg.output_w) &
+                     (xy[:, 1] >= 0) & (xy[:, 1] < cfg.output_h))
+        live = labeled & in_bounds
+        invisible = live & (pts[:, 2] == 1)
+
+        sl = slice(k * nj, (k + 1) * nj)  # this object's rows
+        xy_int = xy.astype(np.int32)
+        ret["hps"][k].reshape(nj, 2)[live] = xy[live] - ct_int
+        ret["hps_mask"][k].reshape(nj, 2)[live] = 1
+        ret["hp_offset"][sl][live] = xy[live] - xy_int[live]
+        ret["hp_ind"][sl][live] = (xy_int[live, 1] * cfg.output_w
+                                   + xy_int[live, 0])
+        ret["hp_offset_mask"][sl][live & ~invisible] = 1
+        ret["hm_hp_mask"][sl][live & ~invisible] = 1
+        ret["joint"][sl][live] = np.nonzero(live)[0]
+        ret["hm_hp_cts"][sl][live] = xy_int[live]
+        radius = max(0, int(gaussian_radius((math.ceil(h), math.ceil(w)))))
+        ret["hm_hp_radii"][sl][live] = radius
+        ret["hm_hp_joint"][sl][live] = np.nonzero(live)[0]
+        ret["hm_hp_splat_valid"][sl][live] = True
+        ret["hm_hp_point_ignore"][sl][invisible] = xy_int[invisible]
+        ret["hm_hp_point_ignore_joint"][sl][invisible] = \
+            np.nonzero(invisible)[0]
+        ret["hm_hp_point_ignore_valid"][sl][invisible] = True
+
+        for j in np.nonzero(~labeled)[0]:
+            if self._num_hp_ignore >= self.max_ignore_regions:
+                break
+            i = self._num_hp_ignore
+            ret["hm_hp_ignore_boxes"][i] = bbox
+            ret["hm_hp_ignore_joint"][i] = j
+            ret["hm_hp_ignore_valid"][i] = True
+            self._num_hp_ignore += 1
+
+    # Multibin orientation: two overlapping bins centered at -pi/2 and
+    # +pi/2, each covering 240 degrees (reference semantics:
+    # generic_dataset.py:556-568).
+    _ROT_BIN_CENTERS = np.array([-0.5 * np.pi, 0.5 * np.pi])
 
     def _add_rot(self, ret, ann, k):
-        """(reference: generic_dataset.py:556-568)"""
-        if "alpha" in ann:
-            ret["rot_mask"][k] = 1
-            alpha = ann["alpha"]
-            if alpha < np.pi / 6.0 or alpha > 5 * np.pi / 6.0:
-                ret["rotbin"][k, 0] = 1
-                ret["rotres"][k, 0] = alpha - (-0.5 * np.pi)
-            if alpha > -np.pi / 6.0 or alpha < -5 * np.pi / 6.0:
-                ret["rotbin"][k, 1] = 1
-                ret["rotres"][k, 1] = alpha - (0.5 * np.pi)
+        if "alpha" not in ann:
+            return
+        ret["rot_mask"][k] = 1
+        alpha = ann["alpha"]
+        in_bin = np.array([
+            alpha < np.pi / 6 or alpha > 5 * np.pi / 6,
+            alpha > -np.pi / 6 or alpha < -5 * np.pi / 6])
+        ret["rotbin"][k] = in_bin
+        ret["rotres"][k] = np.where(in_bin,
+                                    alpha - self._ROT_BIN_CENTERS, 0.0)
 
     def fake_video_data(self):
-        """Fabricate video/track ids for still-image datasets
-        (reference: generic_dataset.py:595-607)."""
-        self.coco.dataset["videos"] = []
-        for i in range(len(self.coco.dataset["images"])):
-            img_id = self.coco.dataset["images"][i]["id"]
-            self.coco.dataset["images"][i]["video_id"] = img_id
-            self.coco.dataset["images"][i]["frame_id"] = 1
-            self.coco.dataset["videos"].append({"id": img_id})
-        if "annotations" not in self.coco.dataset:
-            return
-        for i in range(len(self.coco.dataset["annotations"])):
-            self.coco.dataset["annotations"][i]["track_id"] = i + 1
+        """Treat each still image as a 1-frame video so the tracking
+        pipeline (pre-frame sampling, track ids) works on detection
+        datasets (reference semantics: generic_dataset.py:595-607)."""
+        data = self.coco.dataset
+        for img in data["images"]:
+            img["video_id"], img["frame_id"] = img["id"], 1
+        data["videos"] = [{"id": img["id"]} for img in data["images"]]
+        for t, ann in enumerate(data.get("annotations", []), start=1):
+            ann["track_id"] = t
