@@ -55,12 +55,14 @@ def main(argv=None):
     print("Setting up data...")
     train_ds = dataset_cls(cfg, "train")
     train_loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
-                              num_workers=cfg.num_workers, seed=cfg.seed)
+                              num_workers=cfg.num_workers, seed=cfg.seed,
+                              use_processes=cfg.process_workers)
     val_loader = None
     if cfg.val_intervals < cfg.num_epochs or args.eval_val:
         val_ds = dataset_cls(cfg, "val")
         val_loader = DataLoader(val_ds, cfg.batch_size, shuffle=False,
-                                num_workers=cfg.num_workers)
+                                num_workers=cfg.num_workers,
+                                use_processes=cfg.process_workers)
 
     print("Starting training...")
     for epoch in range(start_epoch + 1, cfg.num_epochs + 1):

@@ -44,6 +44,10 @@ class Config:
     # --- system ----------------------------------------------------------
     seed: int = 317
     num_workers: int = 4
+    # fork-based loader workers (torch-DataLoader analogue) for when
+    # host-side aug/targets become the bottleneck at multi-chip batch
+    # sizes; threads (default) suffice while cv2 holds the hot path
+    process_workers: bool = False
     # dtype for network compute: 'float32' or 'bfloat16' (params stay fp32)
     compute_dtype: str = "float32"
     # rematerialize the forward in backward (jax.checkpoint): trades one

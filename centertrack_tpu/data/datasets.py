@@ -188,13 +188,15 @@ class MOT(GenericDataset):
                     result = results[image_info["id"]]
                     frame_id = image_info["frame_id"]
                     for item in result:
-                        if "tracking_id" not in item:
-                            item["tracking_id"] = np.random.randint(100000)
+                        # don't mutate the caller's dicts: fall back to
+                        # a local random id for untracked detections
+                        tid = item.get("tracking_id")
+                        if tid is None:
+                            tid = np.random.randint(100000)
                         if item["active"] == 0:
                             continue
                         bbox = item["bbox"]
-                        tracks[item["tracking_id"]].append(
-                            [frame_id] + list(bbox))
+                        tracks[tid].append([frame_id] + list(bbox))
                 rename_track_id = 0
                 for track_id in sorted(tracks):
                     rename_track_id += 1

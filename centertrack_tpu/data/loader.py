@@ -1,19 +1,38 @@
-"""Threaded prefetching batch loader.
+"""Prefetching batch loader with thread or process workers.
 
 Replaces torch DataLoader workers (reference: main.py:52-65,
---num_workers). cv2 warps + JPEG decode release the GIL, so a thread
-pool keeps the host pipeline ahead of the device; the heavy GT render
-already moved on-device (data/render.py).
+--num_workers). Default mode is a thread pool: cv2 warps + JPEG decode
+release the GIL and the heavy GT render already moved on-device
+(data/render.py). For multi-chip global batches where the Python-side
+target building itself becomes the bottleneck, ``use_processes=True``
+switches to fork-based process workers (the torch-DataLoader analogue):
+each item is seeded deterministically from the loader's RNG stream so
+augmentation stays reproducible and workers don't duplicate draws.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
+
+_worker_ds = None
+
+
+def _proc_init(dataset):
+    global _worker_ds
+    _worker_ds = dataset
+
+
+def _proc_get(args):
+    idx, seed = args
+    np.random.seed(seed)
+    _worker_ds._data_rng = np.random.RandomState(
+        (seed * 2654435761) % (2 ** 31 - 1))
+    return _worker_ds[int(idx)]
 
 
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -26,7 +45,8 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = True,
-                 prefetch: int = 4, seed: int = 317):
+                 prefetch: int = 4, seed: int = 317,
+                 use_processes: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -34,6 +54,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
+        self.use_processes = use_processes
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -56,13 +77,23 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            if self.use_processes:
+                pool = ProcessPoolExecutor(
+                    self.num_workers, initializer=_proc_init,
+                    initargs=(self.dataset,))
+                fetch = lambda chunk: pool.map(_proc_get, [
+                    (i, int(self.rng.randint(1 << 31))) for i in chunk])
+            else:
+                pool = ThreadPoolExecutor(self.num_workers)
+                fetch = lambda chunk: pool.map(
+                    self.dataset.__getitem__, chunk)
+            try:
                 for chunk in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(
-                        self.dataset.__getitem__, chunk))
-                    q.put(collate(samples))
+                    q.put(collate(list(fetch(chunk))))
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
