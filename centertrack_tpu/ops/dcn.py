@@ -34,9 +34,13 @@ def bilinear_sample(x: jnp.ndarray, py: jnp.ndarray,
     """Bilinear sample (B, H, W, C) at float positions (B, Ho, Wo).
 
     Zero outside the image (matching the CUDA kernel's behavior of
-    skipping out-of-bounds corners).
+    skipping out-of-bounds corners). Position math runs in fp32 even
+    for bf16 features: at W=240 the bf16 ulp is 1.0, which would
+    quantize away the fractional sample position entirely.
     """
     b, h, w, c = x.shape
+    py = py.astype(jnp.float32)
+    px = px.astype(jnp.float32)
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
     fy = py - y0
@@ -65,6 +69,75 @@ def bilinear_sample(x: jnp.ndarray, py: jnp.ndarray,
             v10 * fy * (1 - fx) + v11 * fy * fx)
 
 
+def _corner_slots(x: jnp.ndarray) -> jnp.ndarray:
+    """Pack each padded flat position's 4 bilinear corners into the
+    channel dim.
+
+    x is first zero-padded to (h+3, w+3) so that every sample position
+    clamped into [-1, h] x [-1, w] addresses a valid 2x2 corner patch.
+    Returns (B, L, 4*C) where row p = concat of padded-flat positions
+    [p, p+1, p+w', p+w'+1] (w' = w+3). One 4C-wide gather then fetches
+    every corner of a sample point — a 512-byte contiguous slice at
+    C=64/bf16, which is the layout the TPU gather engine wants (4x
+    fewer gather slices than corner-wise gathers).
+    """
+    b, h, w, c = x.shape
+    wp = w + 3
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    pf = xp.reshape(b, -1, c)  # (B, (h+3)*(w+3), C)
+    ln = (h + 3) * wp - wp - 1
+    return jnp.concatenate(
+        [pf[:, :ln], pf[:, 1:ln + 1], pf[:, wp:ln + wp],
+         pf[:, wp + 1:ln + wp + 1]], axis=2)
+
+
+def _deform_conv2d_slot(x, offset, mask, weight, bias):
+    """3x3/stride-1 fast path of `deform_conv2d` (same semantics).
+
+    Sample positions are computed in fp32 and CLAMPED to the 1-px
+    zero-pad ring [-1, h] x [-1, w]: bilinear interpolation against
+    zero padding there is algebraically identical to the CUDA kernel's
+    skip-out-of-bounds-corners rule (fully-outside samples clamp onto
+    pure zero texels), so no per-corner validity masks are needed.
+    Each tap then needs ONE slot-packed gather for all 4 corners plus
+    one MXU matmul with fp32 accumulation.
+    """
+    b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    wp = w + 3
+    xc = _corner_slots(x)
+    base_y = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    base_x = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    out = jnp.zeros((b, h, w, cout), jnp.float32)
+    for i in range(3):
+        for j in range(3):
+            t = i * 3 + j
+            py = base_y + (i - 1) + offset[..., 2 * t].astype(jnp.float32)
+            px = base_x + (j - 1) + offset[..., 2 * t + 1].astype(jnp.float32)
+            py = jnp.clip(py, -1.0, float(h))
+            px = jnp.clip(px, -1.0, float(w))
+            y0 = jnp.floor(py)
+            x0 = jnp.floor(px)
+            fy = (py - y0).astype(x.dtype)
+            fx = (px - x0).astype(x.dtype)
+            m = mask[..., t]
+            cw = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
+                            fy * (1 - fx), fy * fx], -1) * m[..., None]
+            # +1 shifts into the pad ring; always in range by the clamp
+            idx = ((y0.astype(jnp.int32) + 1) * wp +
+                   x0.astype(jnp.int32) + 1).reshape(b, -1)
+            vals = jnp.take_along_axis(xc, idx[:, :, None], axis=1,
+                                       mode="clip")
+            vals = vals.reshape(b, h, w, 4, cin)
+            sampled = jnp.einsum("bhwsc,bhws->bhwc", vals, cw)
+            out = out + jnp.einsum(
+                "bhwc,cd->bhwd", sampled, weight[i, j],
+                preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: jnp.ndarray | None = None,
                   stride: int = 1, padding: int = 1,
@@ -81,18 +154,26 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     """
     kh, kw, cin, cout = weight.shape
     b, h, w, _ = x.shape
+    # Slot-packed gather wins on large maps (gather-slice-count bound);
+    # the per-corner path wins on small ones (measured crossover at
+    # ~34x60 on v5e — see tests/test_dcn.py for equivalence coverage).
+    if (kh, kw, stride, padding, dilation) == (3, 3, 1, 1, 1) \
+            and h * w >= 4096:
+        return _deform_conv2d_slot(x, offset, mask, weight, bias)
     ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
 
-    base_y = (jnp.arange(ho, dtype=x.dtype) * stride - padding)[None, :, None]
-    base_x = (jnp.arange(wo, dtype=x.dtype) * stride - padding)[None, None, :]
+    base_y = (jnp.arange(ho, dtype=jnp.float32) * stride
+              - padding)[None, :, None]
+    base_x = (jnp.arange(wo, dtype=jnp.float32) * stride
+              - padding)[None, None, :]
 
     out = jnp.zeros((b, ho, wo, cout), dtype=x.dtype)
     for i in range(kh):
         for j in range(kw):
             t = i * kw + j
-            dy = offset[..., 2 * t]
-            dx = offset[..., 2 * t + 1]
+            dy = offset[..., 2 * t].astype(jnp.float32)
+            dx = offset[..., 2 * t + 1].astype(jnp.float32)
             py = base_y + i * dilation + dy
             px = base_x + j * dilation + dx
             sampled = bilinear_sample(x, py, px)  # B,Ho,Wo,Cin

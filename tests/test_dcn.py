@@ -106,3 +106,38 @@ def test_local_offset_gradients_flow():
     off0 = jnp.full((1, 6, 6, 18), 0.3)
     g = jax.grad(loss)(off0)
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_slot_fast_path_matches_general():
+    # the slot-packed gather path (dispatched for large maps) must be
+    # bit-comparable to the per-corner reference path, including
+    # out-of-image samples and partially-outside corners
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 12, 16, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32))
+    offset = jnp.asarray((rng.randn(2, 12, 16, 18) * 5).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 12, 16, 9).astype(np.float32))
+    bias = jnp.asarray(rng.randn(4).astype(np.float32))
+    slow = dcn.deform_conv2d(x, offset, mask, w, bias)
+    fast = dcn._deform_conv2d_slot(x, offset, mask, w, bias)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_slot_fast_path_gradients():
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+    mask = jnp.ones((1, 8, 8, 9))
+    off0 = jnp.full((1, 8, 8, 18), 0.3)
+
+    def loss_slot(off):
+        return (dcn._deform_conv2d_slot(x, off, mask, w, None) ** 2).sum()
+
+    def loss_gen(off):
+        return (dcn.deform_conv2d(x, off, mask, w) ** 2).sum()
+
+    g_slot = jax.grad(loss_slot)(off0)
+    g_gen = jax.grad(loss_gen)(off0)
+    np.testing.assert_allclose(np.asarray(g_slot), np.asarray(g_gen),
+                               atol=1e-3, rtol=1e-3)
