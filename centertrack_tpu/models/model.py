@@ -57,7 +57,14 @@ class CenterTrackNet(nn.Module):
                                   with_pre_hm=self.with_pre_hm,
                                   dtype=self.dtype, name="backbone")
         elif self.arch == "resdcn":
+            # reference picks slimmed (256,128,64) up channels when the
+            # first hm head conv is 64, else (256,256,256)
+            # (resdcn.py:164-178)
+            hm_convs = dict(self.head_convs).get("hm", (256,))
+            slim = len(hm_convs) > 0 and hm_convs[0] == 64
             backbone = PoseResDCN(self.num_layers,
+                                  deconv_channels=((256, 128, 64) if slim
+                                                   else (256, 256, 256)),
                                   with_pre_img=self.with_pre_img,
                                   with_pre_hm=self.with_pre_hm,
                                   dtype=self.dtype, name="backbone")

@@ -12,7 +12,28 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from centertrack_tpu.models.layers import ConvBNAct, DCNLayer, UpBilinear
+from centertrack_tpu.models.layers import (ConvBNAct, DCNLayer,
+                                           bilinear_upsample_kernel)
+
+
+def _bilinear_diag_init(channels):
+    """Identity bilinear-upsample init for a FULL (kh,kw,in,out)
+    transposed-conv kernel: channel c upsamples to channel c, zero
+    cross-channel terms. (Cleaner than the reference's fill_up_weights,
+    which writes the bilinear stencil into output channel 0 only —
+    training erases the difference; conversion overwrites it.)"""
+    import numpy as np
+
+    def init(rng, shape=None, dtype=jnp.float32):
+        if shape is None:
+            shape = (4, 4, channels, channels)
+        kh, kw, cin, cout = shape
+        dw = bilinear_upsample_kernel(kh // 2, cin)  # (kh,kw,1,cin)
+        k = np.zeros(shape, np.float32)
+        idx = np.arange(min(cin, cout))
+        k[:, :, idx, idx] = dw[:, :, 0, idx]
+        return jnp.asarray(k, dtype)
+    return init
 
 
 class ResBasicBlock(nn.Module):
@@ -140,6 +161,7 @@ class PoseResDCN(nn.Module):
     """ResNet + DCN-enhanced upsample stages: per stage DCN 3x3 -> BN ->
     ReLU -> bilinear up -> BN -> ReLU (reference: resdcn.py:235-267)."""
     num_layers: int = 18
+    deconv_channels: Tuple[int, ...] = (256, 128, 64)
     with_pre_img: bool = False
     with_pre_hm: bool = False
     dtype: object = None
@@ -150,15 +172,21 @@ class PoseResDCN(nn.Module):
                         self.with_pre_hm, dtype=self.dtype,
                         name="trunk")(
             x, pre_img, pre_hm, train=train)
-        for i, planes in enumerate((256, 128, 64)):
+        for i, planes in enumerate(self.deconv_channels):
             x = DCNLayer(planes, 3, dtype=self.dtype,
                          name=f"dcn_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"dcn_bn_{i}")(x)
             x = nn.relu(x)
-            x = UpBilinear(planes, 2, dtype=self.dtype,
-                           name=f"up_{i}")(x)
+            # full (not depthwise) transposed conv, as in the reference
+            # (resdcn.py:248-256) — keeps trained reference checkpoints
+            # convertible; initialized as an identity bilinear upsampler
+            x = nn.ConvTranspose(planes, (4, 4), strides=(2, 2),
+                                 padding="SAME", use_bias=False,
+                                 kernel_init=_bilinear_diag_init(planes),
+                                 dtype=self.dtype,
+                                 name=f"up_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"up_bn_{i}")(x)

@@ -81,11 +81,25 @@ class TreeWriter:
         self._set(self.stats, f"{prefix}/var", np.asarray(var))
 
 
+def _deconv_w(w):
+    """torch ConvTranspose2d FULL weight (in, out, kh, kw) -> flax
+    nn.ConvTranspose kernel (kh, kw, in, out). lax.conv_transpose
+    applies the kernel unflipped (cross-correlation on the dilated
+    input) while torch flips it, so the spatial dims reverse here.
+    Pinned numerically by tests/test_torch_parity.py."""
+    w = np.transpose(np.asarray(w), (2, 3, 0, 1))
+    return w[::-1, ::-1].copy()
+
+
+def _strip_module(state_dict):
+    return {k[7:] if k.startswith("module.") else k: v
+            for k, v in state_dict.items()}
+
+
 def convert_dla34(state_dict: Dict[str, np.ndarray]
                   ) -> Tuple[Dict, Dict, list]:
     """Returns (params, batch_stats, unused_keys)."""
-    sd = {k[7:] if k.startswith("module.") else k: v
-          for k, v in state_dict.items()}
+    sd = _strip_module(state_dict)
     out = TreeWriter()
     used = set()
 
@@ -180,6 +194,130 @@ def convert_dla34(state_dict: Dict[str, np.ndarray]
     return out.params, out.stats, unused
 
 
+def _convert_res_common(sd, out, used, num_layers):
+    """Trunk + heads shared by res/resdcn (reference: resdcn.py:145-196,
+    resnet.py:134-211; torch names conv1/bn1/layerL.B.*)."""
+
+    def take(name):
+        used.add(name)
+        return sd[name]
+
+    def conv_bn(src_conv, src_bn, dst):
+        out.conv(f"{dst}/conv", take(f"{src_conv}.weight"))
+        out.bn(f"{dst}/bn", take(f"{src_bn}.weight"),
+               take(f"{src_bn}.bias"), take(f"{src_bn}.running_mean"),
+               take(f"{src_bn}.running_var"))
+
+    blocks_of = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
+                 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[num_layers]
+    bottleneck = num_layers >= 50
+
+    conv_bn("conv1", "bn1", "backbone/trunk/conv1")
+    for stem in ("pre_img_layer", "pre_hm_layer"):
+        if f"{stem}.0.weight" in sd:
+            conv_bn(f"{stem}.0", f"{stem}.1",
+                    f"backbone/trunk/{stem}")
+    for li, nb in enumerate(blocks_of):
+        for bi in range(nb):
+            src = f"layer{li + 1}.{bi}"
+            dst = f"backbone/trunk/layer{li + 1}_{bi}"
+            n_convs = 3 if bottleneck else 2
+            for ci in range(1, n_convs + 1):
+                conv_bn(f"{src}.conv{ci}", f"{src}.bn{ci}",
+                        f"{dst}/conv{ci}")
+            if f"{src}.downsample.0.weight" in sd:
+                conv_bn(f"{src}.downsample.0", f"{src}.downsample.1",
+                        f"{dst}/downsample")
+
+    # heads: torch Sequential under the head's name
+    skip_prefixes = ("conv1", "bn1", "layer", "deconv_layers",
+                     "pre_img_layer", "pre_hm_layer", "base", "fc")
+    head_names = sorted({k.split(".")[0] for k in sd
+                         if "." in k and not k.startswith(skip_prefixes)})
+    for head in head_names:
+        idx = 0
+        ci = 0
+        while f"{head}.{idx}.weight" in sd:
+            nxt = f"{head}.{idx + 2}.weight"
+            dst = (f"heads/{head}/out" if nxt not in sd
+                   else f"heads/{head}/conv_{ci}")
+            out.conv(dst, take(f"{head}.{idx}.weight"),
+                     take(f"{head}.{idx}.bias"))
+            idx += 2
+            ci += 1
+
+
+def convert_resdcn(state_dict: Dict[str, np.ndarray], num_layers=18
+                   ) -> Tuple[Dict, Dict, list]:
+    """PoseResDCN: trunk + 3x (DCN -> BN -> ReLU -> deconv -> BN ->
+    ReLU) stages, deconv_layers indices (0,1,3,4) + 6*i
+    (reference: resdcn.py:236-266)."""
+    sd = _strip_module(state_dict)
+    out = TreeWriter()
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return sd[name]
+
+    _convert_res_common(sd, out, used, num_layers)
+    for i in range(3):
+        base = f"deconv_layers.{6 * i}"
+        out._set(out.params, f"backbone/dcn_{i}/conv_offset_mask/kernel",
+                 _dcn_offset_mask_w(take(f"{base}.conv_offset_mask.weight")))
+        out._set(out.params, f"backbone/dcn_{i}/conv_offset_mask/bias",
+                 _dcn_offset_mask_b(take(f"{base}.conv_offset_mask.bias")))
+        out._set(out.params, f"backbone/dcn_{i}/weight",
+                 _conv_w(take(f"{base}.weight")))
+        out._set(out.params, f"backbone/dcn_{i}/bias",
+                 take(f"{base}.bias"))
+        bn1 = f"deconv_layers.{6 * i + 1}"
+        out.bn(f"backbone/dcn_bn_{i}", take(f"{bn1}.weight"),
+               take(f"{bn1}.bias"), take(f"{bn1}.running_mean"),
+               take(f"{bn1}.running_var"))
+        out._set(out.params, f"backbone/up_{i}/kernel",
+                 _deconv_w(take(f"deconv_layers.{6 * i + 3}.weight")))
+        bn2 = f"deconv_layers.{6 * i + 4}"
+        out.bn(f"backbone/up_bn_{i}", take(f"{bn2}.weight"),
+               take(f"{bn2}.bias"), take(f"{bn2}.running_mean"),
+               take(f"{bn2}.running_var"))
+
+    unused = [k for k in sd if k not in used and "num_batches" not in k]
+    return out.params, out.stats, unused
+
+
+def convert_res(state_dict: Dict[str, np.ndarray], num_layers=18
+                ) -> Tuple[Dict, Dict, list]:
+    """PoseResNet: trunk + 3x (deconv -> BN -> ReLU), deconv_layers
+    indices (0,1) + 3*i (reference: resnet.py:176-201)."""
+    sd = _strip_module(state_dict)
+    out = TreeWriter()
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return sd[name]
+
+    _convert_res_common(sd, out, used, num_layers)
+    for i in range(3):
+        out._set(out.params, f"backbone/deconv_{i}/kernel",
+                 _deconv_w(take(f"deconv_layers.{3 * i}.weight")))
+        bn = f"deconv_layers.{3 * i + 1}"
+        out.bn(f"backbone/deconv_bn_{i}", take(f"{bn}.weight"),
+               take(f"{bn}.bias"), take(f"{bn}.running_mean"),
+               take(f"{bn}.running_var"))
+
+    unused = [k for k in sd if k not in used and "num_batches" not in k]
+    return out.params, out.stats, unused
+
+
+CONVERTERS = {
+    "dla": lambda sd, n: convert_dla34(sd),
+    "resdcn": convert_resdcn,
+    "res": convert_res,
+}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--pth", required=True)
@@ -191,8 +329,10 @@ def main():
                          weights_only=False)
     sd = payload.get("state_dict", payload)
     sd = {k: v.numpy() for k, v in sd.items()}
-    assert args.arch == "dla_34", "converter currently supports dla_34"
-    params, stats, unused = convert_dla34(sd)
+    base, _, depth = args.arch.partition("_")
+    assert base in CONVERTERS, \
+        f"converter supports {sorted(CONVERTERS)} archs, got {base}"
+    params, stats, unused = CONVERTERS[base](sd, int(depth or 18))
     if unused:
         print(f"WARNING: {len(unused)} unconverted keys, e.g. "
               f"{unused[:5]}")

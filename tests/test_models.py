@@ -16,15 +16,24 @@ def _tiny_net(arch="dla", num_layers=34, node="conv", pre=False):
         dla_node=node, with_pre_img=pre, with_pre_hm=pre)
 
 
-def test_dla34_shapes_conv_node():
+@pytest.fixture(scope="module")
+def dla_conv():
+    """One dla34/conv build + init + compiled apply shared by every
+    test that only inspects outputs (compile dominates CPU test time)."""
     net = _tiny_net(node="conv")
-    x = jnp.zeros((1, 64, 64, 3))
+    x = jnp.zeros((1, 32, 32, 3))
     variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
-    out = jax.jit(net.apply)(variables, x)
+    apply = jax.jit(net.apply)
+    out = apply(variables, x)
+    return net, x, variables, out, apply
+
+
+def test_dla34_shapes_conv_node(dla_conv):
+    out = dla_conv[3]
     assert isinstance(out, list) and len(out) == 1
     assert set(out[0].keys()) == {"hm", "reg", "wh", "tracking"}
-    assert out[0]["hm"].shape == (1, 16, 16, 2)
-    assert out[0]["wh"].shape == (1, 16, 16, 2)
+    assert out[0]["hm"].shape == (1, 8, 8, 2)
+    assert out[0]["wh"].shape == (1, 8, 8, 2)
 
 
 def test_dla34_dcn_node_and_temporal_inputs():
@@ -41,11 +50,8 @@ def test_dla34_dcn_node_and_temporal_inputs():
                            np.asarray(out2[0]["hm"]))
 
 
-def test_hm_prior_bias():
-    net = _tiny_net(node="conv")
-    x = jnp.zeros((1, 32, 32, 3))
-    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
-    out = jax.jit(net.apply)(variables, x)
+def test_hm_prior_bias(dla_conv):
+    out = dla_conv[3]
     # hm starts near prior_bias=-4.6 logits -> sigmoid ~ 0.01
     hm_sig = jax.nn.sigmoid(out[0]["hm"])
     assert float(hm_sig.mean()) < 0.1
@@ -73,27 +79,23 @@ def test_create_model_arch_parse():
     assert m.arch == "dla" and m.num_layers == 34
 
 
-def test_save_load_roundtrip(tmp_path):
-    net = _tiny_net(node="conv")
-    x = jnp.zeros((1, 32, 32, 3))
-    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+def test_save_load_roundtrip(tmp_path, dla_conv):
+    net, x, variables, out1, apply = dla_conv
     params = variables["params"]
     bs = variables.get("batch_stats", {})
     p = str(tmp_path / "model.ckpt")
     save_model(p, 7, params, bs)
     loaded = load_model(p, params, bs)
     assert loaded["epoch"] == 7
-    out1 = jax.jit(net.apply)({"params": params, "batch_stats": bs}, x)
-    out2 = jax.jit(net.apply)({"params": loaded["params"],
-                      "batch_stats": loaded["batch_stats"]}, x)
+    out2 = apply({"params": loaded["params"],
+                  "batch_stats": loaded["batch_stats"]}, x)
     np.testing.assert_allclose(np.asarray(out1[0]["hm"]),
                                np.asarray(out2[0]["hm"]))
 
 
-def test_batchnorm_train_mode_updates_stats():
-    net = _tiny_net(node="conv")
-    x = jnp.ones((2, 32, 32, 3))
-    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+def test_batchnorm_train_mode_updates_stats(dla_conv):
+    net, _, variables, _, _ = dla_conv
+    x = jnp.ones((1, 32, 32, 3))
     out, mutated = jax.jit(
         lambda v, x: net.apply(v, x, train=True, mutable=["batch_stats"])
     )(variables, x)

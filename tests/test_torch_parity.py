@@ -133,3 +133,43 @@ def test_dlaseg_activation_parity(ref_model):
             gmap, w, rtol=1e-3, atol=1e-3,
             err_msg=f"head {head} diverges "
                     f"(max abs diff {np.abs(gmap - w).max():.2e})")
+
+
+def test_resdcn_activation_parity():
+    """PoseResDCN (res_18 trunk + DCN/deconv stages): converted
+    reference weights must reproduce every head map. Pins the
+    full-ConvTranspose deconv mapping (_deconv_w) numerically.
+    reference: src/lib/model/networks/resdcn.py:145-290."""
+    from centertrack_tpu.tools.convert_torch_weights import convert_resdcn
+    from tests.torch_ref import build_reference_resdcn
+
+    model = build_reference_resdcn(HEADS, HEAD_CONVS)
+    randomize_(model, seed=5)
+    model = model.eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, stats, unused = convert_resdcn(sd, 18)
+    assert not unused, unused[:10]
+
+    g = torch.Generator().manual_seed(6)
+    img = torch.randn(1, 3, 64, 64, generator=g)
+    with torch.no_grad():
+        want = model(img)[-1]
+
+    net = CenterTrackNet(
+        arch="resdcn", num_layers=18,
+        heads=tuple(sorted(HEADS.items())),
+        head_convs=tuple(sorted((k, tuple(v))
+                                for k, v in HEAD_CONVS.items())))
+    with jax.default_matmul_precision("float32"):
+        got = net.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+                        train=False)[-1]
+
+    assert set(got) == set(want)
+    for head in want:
+        w = want[head].numpy().transpose(0, 2, 3, 1)
+        gmap = np.asarray(got[head])
+        np.testing.assert_allclose(
+            gmap, w, rtol=1e-3, atol=1e-3,
+            err_msg=f"head {head} diverges "
+                    f"(max abs diff {np.abs(gmap - w).max():.2e})")

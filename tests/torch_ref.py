@@ -180,3 +180,21 @@ def randomize_(model: nn.Module, seed: int = 0,
             buf.data = torch.randn(buf.shape, generator=g) * 0.1
         elif name.endswith("running_var"):
             buf.data = 0.5 + torch.rand(buf.shape, generator=g)
+
+
+def build_reference_resdcn(heads, head_convs, num_layers=18):
+    """Construct the real reference PoseResDCN with torch-DCN stages
+    (reference: src/lib/model/networks/resdcn.py:145-290). The
+    unconditional ImageNet download in init_weights is stubbed out
+    (no egress here)."""
+    import types
+    resdcn = import_reference_networks("resdcn")
+    resdcn.model_zoo = types.SimpleNamespace(load_url=lambda url: {})
+    opt = RefOpt()
+    opt.rgb = False
+    model = resdcn.PoseResDCN(num_layers, heads, head_convs, opt)
+    # BaseModel.forward reads self.opt.model_output_list but PoseResDCN
+    # never stores opt (reference relies on DLASeg-style subclasses
+    # doing it) — attach it for the forward pass
+    model.opt = opt
+    return model
