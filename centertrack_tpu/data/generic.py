@@ -175,21 +175,8 @@ class GenericDataset:
 
         self._init_ret(ret)
         calib = self._get_calib(img_info, width, height)
-
-        num_objs = min(len(anns), self.max_objs)
-        for k in range(num_objs):
-            ann = anns[k]
-            cls_id = int(self.cat_ids[ann["category_id"]])
-            if cls_id > cfg.num_classes or cls_id <= -999:
-                continue
-            bbox, bbox_amodal = self._get_bbox_output(
-                ann["bbox"], trans_output, height, width)
-            if cls_id <= 0 or ("iscrowd" in ann and ann["iscrowd"] > 0):
-                self._mask_ignore_or_crowd(ret, cls_id, bbox)
-                continue
-            self._add_instance(
-                ret, k, cls_id, bbox, bbox_amodal, ann, trans_output,
-                aug_s, calib, pre_cts, track_ids)
+        self._add_instances(ret, anns[:self.max_objs], trans_output,
+                            aug_s, calib, pre_cts, track_ids)
 
         ret["meta_c"] = c.astype(np.float32)
         ret["meta_s"] = np.array(
@@ -516,99 +503,123 @@ class GenericDataset:
         return np.array([box[0], box[1], box[0] + box[2], box[1] + box[3]],
                         np.float32)
 
-    def _get_bbox_output(self, bbox, trans_output, height, width):
-        """(reference: generic_dataset.py:407-421)"""
+    def _transform_bboxes(self, boxes_xywh: np.ndarray,
+                          trans_output: np.ndarray):
+        """All boxes at once: coco xywh -> output-space (clipped, amodal)
+        xyxy envelopes of the 4 warped corners (reference semantics:
+        generic_dataset.py:407-421, which loops per box)."""
         cfg = self.cfg
-        bbox = self._coco_box_to_bbox(bbox).copy()
-        rect = np.array([[bbox[0], bbox[1]], [bbox[0], bbox[3]],
-                         [bbox[2], bbox[3]], [bbox[2], bbox[1]]], np.float32)
-        for t in range(4):
-            rect[t] = affine_transform(rect[t], trans_output)
-        bbox[:2] = rect[:, 0].min(), rect[:, 1].min()
-        bbox[2:] = rect[:, 0].max(), rect[:, 1].max()
-        bbox_amodal = bbox.copy()
-        bbox[[0, 2]] = np.clip(bbox[[0, 2]], 0, cfg.output_w - 1)
-        bbox[[1, 3]] = np.clip(bbox[[1, 3]], 0, cfg.output_h - 1)
-        return bbox, bbox_amodal
+        b = np.asarray(boxes_xywh, np.float32)
+        x0y0 = b[:, :2]
+        x1y1 = b[:, :2] + b[:, 2:4]
+        # (N,4,2) corner rectangle per box
+        rect = np.stack([x0y0,
+                         np.stack([x0y0[:, 0], x1y1[:, 1]], -1),
+                         x1y1,
+                         np.stack([x1y1[:, 0], x0y0[:, 1]], -1)], axis=1)
+        warped = rect @ trans_output[:, :2].T + trans_output[:, 2]
+        amodal = np.concatenate([warped.min(axis=1), warped.max(axis=1)],
+                                axis=1).astype(np.float32)
+        clipped = amodal.copy()
+        clipped[:, 0::2] = np.clip(clipped[:, 0::2], 0, cfg.output_w - 1)
+        clipped[:, 1::2] = np.clip(clipped[:, 1::2], 0, cfg.output_h - 1)
+        return clipped, amodal
 
-    def _add_instance(self, ret, k, cls_id, bbox, bbox_amodal, ann,
-                      trans_output, aug_s, calib, pre_cts=None,
-                      track_ids=None):
-        """(reference: generic_dataset.py:423-515)"""
+    def _add_instances(self, ret, anns, trans_output, aug_s, calib,
+                       pre_cts=None, track_ids=None):
+        """Per-object GT targets, batched across objects (reference
+        semantics: generic_dataset.py:372-515, which loops per object).
+
+        Target slot k keeps the annotation's original index (holes stay
+        zero-masked); boxes are warped with one batched matmul; the
+        dense field writes (cat/wh/ind/reg/ltrb/hm splats) are fancy-
+        indexed in one shot; only heads that read heterogeneous ann
+        dict fields (kps/rot/depth/...) loop over the few live objects.
+        """
         cfg = self.cfg
         heads = cfg.heads_dict
-        h, w = bbox[3] - bbox[1], bbox[2] - bbox[0]
-        if h <= 0 or w <= 0:
+        if not anns:
             return
-        radius = gaussian_radius((math.ceil(h), math.ceil(w)))
-        radius = max(0, int(radius))
-        ct = np.array([(bbox[0] + bbox[2]) / 2, (bbox[1] + bbox[3]) / 2],
-                      np.float32)
-        ct_int = ct.astype(np.int32)
-        ret["cat"][k] = cls_id - 1
-        ret["mask"][k] = 1
-        if "wh" in ret:
-            ret["wh"][k] = 1.0 * w, 1.0 * h
-            ret["wh_mask"][k] = 1
-        ret["ind"][k] = ct_int[1] * cfg.output_w + ct_int[0]
-        ret["reg"][k] = ct - ct_int
-        ret["reg_mask"][k] = 1
-        ret["hm_cts"][k] = ct_int
-        ret["hm_radii"][k] = radius
-        ret["hm_valid"][k] = True
+        cls = np.array([self.cat_ids[a["category_id"]] for a in anns],
+                       np.int64)
+        crowd = np.array([a.get("iscrowd", 0) > 0 for a in anns], bool)
+        known = (cls <= cfg.num_classes) & (cls > -999)
+        clipped, amodal = self._transform_bboxes(
+            [a["bbox"] for a in anns], trans_output)
+        wh = clipped[:, 2:4] - clipped[:, 0:2]  # (N,2) = (w, h)
 
-        if "tracking" in heads:
-            if ann.get("track_id") in (track_ids or []):
-                pre_ct = pre_cts[track_ids.index(ann["track_id"])]
-                ret["tracking_mask"][k] = 1
-                ret["tracking"][k] = pre_ct - ct_int
+        # crowd/ignore regions keep their sequential capacity semantics
+        for k in np.nonzero(known & ((cls <= 0) | crowd))[0]:
+            self._mask_ignore_or_crowd(ret, int(cls[k]), clipped[k])
+
+        live_mask = (known & (cls > 0) & ~crowd &
+                     (wh[:, 0] > 0) & (wh[:, 1] > 0))
+        live = np.nonzero(live_mask)[0]
+        if live.size == 0:
+            return
+        box = clipped[live]
+        ct = (box[:, 0:2] + box[:, 2:4]) / 2
+        ct_int = ct.astype(np.int32)
+        radii = np.array([max(0, int(gaussian_radius(
+            (math.ceil(hh), math.ceil(ww)))))
+            for ww, hh in wh[live]], np.int32)
+
+        ret["cat"][live] = cls[live] - 1
+        ret["mask"][live] = 1
+        if "wh" in ret:
+            ret["wh"][live] = wh[live]
+            ret["wh_mask"][live] = 1
+        ret["ind"][live] = ct_int[:, 1] * cfg.output_w + ct_int[:, 0]
+        ret["reg"][live] = ct - ct_int
+        ret["reg_mask"][live] = 1
+        ret["hm_cts"][live] = ct_int
+        ret["hm_radii"][live] = radii
+        ret["hm_valid"][live] = True
 
         if "ltrb" in heads:
-            ret["ltrb"][k] = (bbox[0] - ct_int[0], bbox[1] - ct_int[1],
-                              bbox[2] - ct_int[0], bbox[3] - ct_int[1])
-            ret["ltrb_mask"][k] = 1
-
+            ret["ltrb"][live] = box - np.tile(ct_int, 2)
+            ret["ltrb_mask"][live] = 1
         if "ltrb_amodal" in heads:
-            ret["ltrb_amodal"][k] = (
-                bbox_amodal[0] - ct_int[0], bbox_amodal[1] - ct_int[1],
-                bbox_amodal[2] - ct_int[0], bbox_amodal[3] - ct_int[1])
-            ret["ltrb_amodal_mask"][k] = 1
+            ret["ltrb_amodal"][live] = amodal[live] - np.tile(ct_int, 2)
+            ret["ltrb_amodal_mask"][live] = 1
 
-        if "nuscenes_att" in heads:
-            if ("attributes" in ann) and ann["attributes"] > 0:
+        if "tracking" in heads and track_ids:
+            pre_ct_of = {tid: pc for tid, pc in zip(track_ids, pre_cts)}
+            for i, k in enumerate(live):
+                pre_ct = pre_ct_of.get(anns[k].get("track_id"))
+                if pre_ct is not None:
+                    ret["tracking_mask"][k] = 1
+                    ret["tracking"][k] = pre_ct - ct_int[i]
+
+        # heads fed by heterogeneous per-ann dict fields
+        for i, k in enumerate(live):
+            ann = anns[k]
+            if "hps" in heads:
+                self._add_hps(ret, k, ann, trans_output, ct_int[i],
+                              box[i], wh[live][i, 1], wh[live][i, 0])
+            if "rot" in heads:
+                self._add_rot(ret, ann, k)
+            if "dep" in heads and "depth" in ann:
+                ret["dep_mask"][k] = 1
+                ret["dep"][k] = ann["depth"] * aug_s
+            if "dim" in heads and "dim" in ann:
+                ret["dim_mask"][k] = 1
+                ret["dim"][k] = ann["dim"]
+            if "amodel_offset" in heads and "amodel_center" in ann:
+                amodel_center = affine_transform(
+                    ann["amodel_center"], trans_output)
+                ret["amodel_offset_mask"][k] = 1
+                ret["amodel_offset"][k] = amodel_center - ct_int[i]
+            if "nuscenes_att" in heads and ann.get("attributes", 0) > 0:
                 att = int(ann["attributes"] - 1)
                 ret["nuscenes_att"][k][att] = 1
                 ret["nuscenes_att_mask"][k][
                     self.nuscenes_att_range[att]] = 1
-
-        if "velocity" in heads:
-            if ("velocity" in ann) and min(ann["velocity"]) > -1000:
+            if "velocity" in heads and "velocity" in ann and \
+                    min(ann["velocity"]) > -1000:
                 ret["velocity"][k] = np.array(
                     ann["velocity"], np.float32)[:3]
                 ret["velocity_mask"][k] = 1
-
-        if "hps" in heads:
-            self._add_hps(ret, k, ann, trans_output, ct_int, bbox, h, w)
-
-        if "rot" in heads:
-            self._add_rot(ret, ann, k)
-
-        if "dep" in heads:
-            if "depth" in ann:
-                ret["dep_mask"][k] = 1
-                ret["dep"][k] = ann["depth"] * aug_s
-
-        if "dim" in heads:
-            if "dim" in ann:
-                ret["dim_mask"][k] = 1
-                ret["dim"][k] = ann["dim"]
-
-        if "amodel_offset" in heads:
-            if "amodel_center" in ann:
-                amodel_center = affine_transform(
-                    ann["amodel_center"], trans_output)
-                ret["amodel_offset_mask"][k] = 1
-                ret["amodel_offset"][k] = amodel_center - ct_int
 
     def _add_hps(self, ret, k, ann, trans_output, ct_int, bbox, h, w):
         """Keypoint targets for object k, computed for all joints at

@@ -38,7 +38,12 @@ def test_getitem_shapes(tiny_data):
     cfg = make_cfg()
     ds = TinyDataset(cfg, "train", ann_path, img_dir)
     assert len(ds) == 8
+    # the random crop can legitimately push an object out of view —
+    # pin the stream so both objects stay visible deterministically
+    state = np.random.get_state()
+    np.random.seed(11)
     ret = ds[0]
+    np.random.set_state(state)
     assert ret["image"].shape == (64, 96, 3)
     assert ret["pre_img"].shape == (64, 96, 3)
     assert ret["ind"].shape == (8,)
