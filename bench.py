@@ -18,11 +18,68 @@ import numpy as np
 
 BASELINE_FPS = 22.0  # reference MOT17 tracking FPS (TITAN Xp)
 
+EXACT_BENCH_TIMEOUT_S = 900
 
-def main():
+
+def _exact_dcn_fps_subprocess():
+    """Run the exact-dcn bench in a detached child; None on timeout or
+    failure. The child is never killed (see comment at the call site)."""
+    import os
+    import subprocess
+    import sys as _sys
+    import tempfile
+    out_path = tempfile.mktemp(suffix=".json")
+    child = subprocess.Popen(
+        [_sys.executable, os.path.abspath(__file__), "--exact-only",
+         out_path],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    try:
+        child.wait(EXACT_BENCH_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        print("exact-dcn bench still compiling after "
+              f"{EXACT_BENCH_TIMEOUT_S}s; abandoning (not killed)",
+              file=__import__("sys").stderr)
+        return None
+    try:
+        with open(out_path) as f:
+            return json.load(f)["exact_dcn_fps"]
+    except Exception:
+        return None
+
+
+def _exact_only(out_path):
+    """Child-process entry: bench the fused engine with the exact dcn
+    node and write one number to out_path."""
+    import dataclasses
+    import jax.numpy as jnp
     from centertrack_tpu.config import Config, parse_task, set_heads
     from centertrack_tpu.engine.fused import FusedDetector
 
+    cfg = Config(task="tracking", pre_hm=True, track_thresh=0.1,
+                 new_thresh=0.1, max_age=3, compute_dtype="bfloat16",
+                 dla_node="dcn")
+    cfg = parse_task(cfg)
+    cfg = set_heads(cfg, _mot_meta())
+    det = FusedDetector(cfg, dataset_meta=_mot_meta())
+    rng = np.random.RandomState(0)
+    frames = [jnp.asarray(rng.randint(0, 255, (1080, 1920, 3), np.uint8))
+              for _ in range(4)]
+    r = det.run(frames[0])
+    _ = np.asarray(r["scores"])
+    for i in range(3):
+        r = det.run(frames[i % 4])
+    _ = np.asarray(r["scores"])
+    t0 = time.time()
+    for i in range(30):
+        r = det.run(frames[i % 4])
+    _ = np.asarray(r["scores"])
+    fps = 30 / (time.time() - t0)
+    with open(out_path, "w") as f:
+        json.dump({"exact_dcn_fps": round(fps, 2)}, f)
+
+
+def _mot_meta():
     class MOTMeta:
         num_categories = 1
         default_resolution = [544, 960]
@@ -31,7 +88,14 @@ def main():
         flip_idx = []
         mean = np.array([0.40789654, 0.44719302, 0.47026115], np.float32)
         std = np.array([0.28863828, 0.27408164, 0.27809835], np.float32)
+    return MOTMeta
 
+
+def main():
+    from centertrack_tpu.config import Config, parse_task, set_heads
+    from centertrack_tpu.engine.fused import FusedDetector
+
+    MOTMeta = _mot_meta()
     cfg = Config(task="tracking", pre_hm=True, track_thresh=0.1,
                  new_thresh=0.1, max_age=3, compute_dtype="bfloat16",
                  dla_node="dcn_local1")
@@ -73,25 +137,15 @@ def main():
     print(f"e2e incl. tunnel H2D: {e2e:.2f} fps", file=sys.stderr)
 
     # secondary: EXACT DCNv2 node (slot-packed gather path) instead of
-    # the clamped dcn_local1 approximation
-    exact_fps = None
-    try:
-        import dataclasses
-        cfg_x = dataclasses.replace(cfg, dla_node="dcn")
-        det_x = FusedDetector(cfg_x, dataset_meta=MOTMeta)
-        r = det_x.run(frames[0])
-        _ = np.asarray(r["scores"])
-        for i in range(3):
-            r = det_x.run(frames[i % 4])
-        _ = np.asarray(r["scores"])
-        t0 = time.time()
-        for i in range(30):
-            r = det_x.run(frames[i % 4])
-        _ = np.asarray(r["scores"])
-        exact_fps = 30 / (time.time() - t0)
+    # the clamped dcn_local1 approximation. Runs in a DETACHED child
+    # with a no-kill timeout: the axon tunnel occasionally stalls a
+    # fresh compile for tens of minutes, and SIGTERM-ing a client
+    # mid-compile can wedge the tunnel — so on timeout the child is
+    # simply abandoned (it exits on its own) and only the headline is
+    # reported.
+    exact_fps = _exact_dcn_fps_subprocess()
+    if exact_fps is not None:
         print(f"exact-dcn: {exact_fps:.2f} fps", file=sys.stderr)
-    except Exception as e:  # never let the secondary kill the headline
-        print(f"exact-dcn bench failed: {e}", file=sys.stderr)
 
     out = {
         "metric": "MOT17_tracking_FPS_dla34_544x960_1chip_fused",
@@ -106,4 +160,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) >= 3 and sys.argv[1] == "--exact-only":
+        _exact_only(sys.argv[2])
+    else:
+        main()
