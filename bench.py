@@ -12,7 +12,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
+
+# persistent XLA compile cache (no-op if the backend can't serialize
+# executables; saves minutes per run when it can) — set before jax loads
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import numpy as np
 
@@ -21,31 +28,40 @@ BASELINE_FPS = 22.0  # reference MOT17 tracking FPS (TITAN Xp)
 EXACT_BENCH_TIMEOUT_S = 900
 
 
+EXACT_RESULT_PATH = "/tmp/centertrack_exact_dcn_bench.json"
+
+
 def _exact_dcn_fps_subprocess():
-    """Run the exact-dcn bench in a detached child; None on timeout or
-    failure. The child is never killed (see comment at the call site)."""
-    import os
+    """Run the exact-dcn bench in a detached child; (fps, cached_flag)
+    or (None, False) on failure. The child is never killed (see comment
+    at the call site); it writes to a STABLE path, so a child abandoned
+    by a previous run still contributes its number (flagged stale) when
+    it eventually finishes."""
     import subprocess
     import sys as _sys
-    import tempfile
-    out_path = tempfile.mktemp(suffix=".json")
+    t_start = time.time()
     child = subprocess.Popen(
         [_sys.executable, os.path.abspath(__file__), "--exact-only",
-         out_path],
+         EXACT_RESULT_PATH],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
+    timed_out = False
     try:
         child.wait(EXACT_BENCH_TIMEOUT_S)
     except subprocess.TimeoutExpired:
+        timed_out = True
         print("exact-dcn bench still compiling after "
               f"{EXACT_BENCH_TIMEOUT_S}s; abandoning (not killed)",
-              file=__import__("sys").stderr)
-        return None
+              file=_sys.stderr)
     try:
-        with open(out_path) as f:
-            return json.load(f)["exact_dcn_fps"]
+        with open(EXACT_RESULT_PATH) as f:
+            payload = json.load(f)
+        stale = timed_out or payload.get("ts", 0) < t_start
+        if stale and time.time() - payload.get("ts", 0) > 86400:
+            return None, False  # too old to report
+        return payload["exact_dcn_fps"], stale
     except Exception:
-        return None
+        return None, False
 
 
 def _exact_only(out_path):
@@ -76,7 +92,8 @@ def _exact_only(out_path):
     _ = np.asarray(r["scores"])
     fps = 30 / (time.time() - t0)
     with open(out_path, "w") as f:
-        json.dump({"exact_dcn_fps": round(fps, 2)}, f)
+        json.dump({"exact_dcn_fps": round(fps, 2),
+                   "ts": time.time()}, f)
 
 
 def _mot_meta():
@@ -143,9 +160,11 @@ def main():
     # mid-compile can wedge the tunnel — so on timeout the child is
     # simply abandoned (it exits on its own) and only the headline is
     # reported.
-    exact_fps = _exact_dcn_fps_subprocess()
+    exact_fps, exact_cached = _exact_dcn_fps_subprocess()
     if exact_fps is not None:
-        print(f"exact-dcn: {exact_fps:.2f} fps", file=sys.stderr)
+        print(f"exact-dcn: {exact_fps:.2f} fps"
+              + (" (cached from a previous run)" if exact_cached else ""),
+              file=sys.stderr)
 
     out = {
         "metric": "MOT17_tracking_FPS_dla34_544x960_1chip_fused",
@@ -156,6 +175,8 @@ def main():
     if exact_fps is not None:
         out["exact_dcn_fps"] = round(exact_fps, 2)
         out["exact_dcn_vs_baseline"] = round(exact_fps / BASELINE_FPS, 3)
+        if exact_cached:
+            out["exact_dcn_cached"] = True
     print(json.dumps(out))
 
 
