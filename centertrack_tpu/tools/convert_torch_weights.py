@@ -311,10 +311,104 @@ def convert_res(state_dict: Dict[str, np.ndarray], num_layers=18
     return out.params, out.stats, unused
 
 
+def convert_generic_mobilenet_dlaup(state_dict: Dict[str, np.ndarray],
+                                    num_layers=0
+                                    ) -> Tuple[Dict, Dict, list]:
+    """GenericNetwork with MobileNetV2 backbone + DLAUp neck
+    (reference: networks/generic_network.py + backbones/mobilenet.py +
+    necks/dlaup.py). Torch tree: backbone.features.N / neck.dla_up /
+    neck.ida_up / <head> Sequentials."""
+    sd = _strip_module(state_dict)
+    out = TreeWriter()
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return sd[name]
+
+    def conv_bn(src_conv, src_bn, dst):
+        out.conv(f"{dst}/conv", take(f"{src_conv}.weight"))
+        out.bn(f"{dst}/bn", take(f"{src_bn}.weight"),
+               take(f"{src_bn}.bias"), take(f"{src_bn}.running_mean"),
+               take(f"{src_bn}.running_var"))
+
+    # --- mobilenet backbone -------------------------------------------
+    bb = "backbone"
+    dst_bb = "backbone/backbone"
+    conv_bn(f"{bb}.features.0.0", f"{bb}.features.0.1", f"{dst_bb}/stem")
+    for stem in ("pre_img_layer", "pre_hm_layer"):
+        if f"{bb}.{stem}.0.weight" in sd:
+            conv_bn(f"{bb}.{stem}.0", f"{bb}.{stem}.1",
+                    f"{dst_bb}/{stem}")
+    fi = 1
+    while f"{bb}.features.{fi}.conv.0.0.weight" in sd:
+        src = f"{bb}.features.{fi}.conv"
+        dst = f"{dst_bb}/block_{fi - 1}"
+        # expand_ratio==1 blocks have no pw stage: [dw, pwlin, bn];
+        # others: [pw, dw, pwlin, bn] (mobilenet.py:61-72)
+        has_pw = f"{src}.3.weight" in sd
+        o = 0
+        if has_pw:
+            conv_bn(f"{src}.0.0", f"{src}.0.1", f"{dst}/pw")
+            o = 1
+        conv_bn(f"{src}.{o}.0", f"{src}.{o}.1", f"{dst}/dw")
+        conv_bn(f"{src}.{o + 1}", f"{src}.{o + 2}", f"{dst}/pw_linear")
+        fi += 1
+
+    # --- dlaup neck (same ida naming as the dla arch) -----------------
+    def dcn_layer(src, dst):
+        out._set(out.params, f"{dst}/conv_offset_mask/kernel",
+                 _dcn_offset_mask_w(take(f"{src}.conv_offset_mask.weight")))
+        out._set(out.params, f"{dst}/conv_offset_mask/bias",
+                 _dcn_offset_mask_b(take(f"{src}.conv_offset_mask.bias")))
+        out._set(out.params, f"{dst}/weight",
+                 _conv_w(take(f"{src}.weight")))
+        out._set(out.params, f"{dst}/bias", take(f"{src}.bias"))
+
+    def deform_node(src, dst):
+        dcn_layer(f"{src}.conv", f"{dst}/conv")
+        out.bn(f"{dst}/actf_bn", take(f"{src}.actf.0.weight"),
+               take(f"{src}.actf.0.bias"),
+               take(f"{src}.actf.0.running_mean"),
+               take(f"{src}.actf.0.running_var"))
+
+    def ida(src, dst, n):
+        for i in range(1, n):
+            deform_node(f"{src}.proj_{i}", f"{dst}/proj_{i}")
+            deform_node(f"{src}.node_{i}", f"{dst}/node_{i}")
+            out._set(out.params, f"{dst}/up_{i}/kernel",
+                     _up_w(take(f"{src}.up_{i}.weight")))
+
+    ida("neck.dla_up.ida_0", "backbone/neck/dla_up/ida_0", 2)
+    ida("neck.dla_up.ida_1", "backbone/neck/dla_up/ida_1", 3)
+    ida("neck.dla_up.ida_2", "backbone/neck/dla_up/ida_2", 4)
+    ida("neck.ida_up", "backbone/neck/ida_up", 3)
+
+    # --- heads --------------------------------------------------------
+    head_names = sorted({k.split(".")[0] for k in sd
+                         if "." in k and not k.startswith(
+                             ("backbone", "neck"))})
+    for head in head_names:
+        idx = 0
+        ci = 0
+        while f"{head}.{idx}.weight" in sd:
+            nxt = f"{head}.{idx + 2}.weight"
+            dst = (f"heads/{head}/out" if nxt not in sd
+                   else f"heads/{head}/conv_{ci}")
+            out.conv(dst, take(f"{head}.{idx}.weight"),
+                     take(f"{head}.{idx}.bias"))
+            idx += 2
+            ci += 1
+
+    unused = [k for k in sd if k not in used and "num_batches" not in k]
+    return out.params, out.stats, unused
+
+
 CONVERTERS = {
     "dla": lambda sd, n: convert_dla34(sd),
     "resdcn": convert_resdcn,
     "res": convert_res,
+    "mobilenet": convert_generic_mobilenet_dlaup,
 }
 
 

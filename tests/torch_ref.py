@@ -198,3 +198,35 @@ def build_reference_resdcn(heads, head_convs, num_layers=18):
     # doing it) — attach it for the forward pass
     model.opt = opt
     return model
+
+
+def build_reference_generic(heads, head_convs, backbone="mobilenet",
+                            neck="dlaup"):
+    """Construct the real reference GenericNetwork (backbone x neck)
+    with the torch-DCN stand-in injected into the neck module
+    (reference: src/lib/model/networks/generic_network.py)."""
+    if REF_LIB not in sys.path:
+        sys.path.insert(0, REF_LIB)
+    import importlib
+    import types
+    # the mobilenet backbone imports torchvision only for the ImageNet
+    # download helper — stub it (no egress here anyway)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_m = types.ModuleType("torchvision.models")
+        tv_u = types.ModuleType("torchvision.models.utils")
+        tv_u.load_state_dict_from_url = lambda *a, **k: {}
+        tv.models = tv_m
+        tv_m.utils = tv_u
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_m
+        sys.modules["torchvision.models.utils"] = tv_u
+    dlaup_mod = importlib.import_module("model.networks.necks.dlaup")
+    dlaup_mod.DCN = DCN
+    gen = importlib.import_module("model.networks.generic_network")
+    opt = RefOpt()
+    opt.backbone = backbone
+    opt.neck = neck
+    model = gen.GenericNetwork(0, heads, head_convs, opt=opt)
+    model.opt = opt
+    return model
