@@ -1,9 +1,11 @@
 """Reference .pth checkpoint -> centertrack_tpu params converter.
 
 Maps the reference's torch state_dict naming scheme
-(reference: src/lib/model/model.py:31-71, networks/dla.py module tree)
-onto this repo's flax param/batch_stats trees for the dla_34 arch, so
-models trained with the reference can be evaluated here.
+(reference: src/lib/model/model.py:31-71 + the networks/ module trees)
+onto this repo's flax param/batch_stats trees, so models trained with
+the reference can be evaluated here. Supported archs: dla_34, dlav0,
+resdcn_*, res_*, and generic MobileNetV2+DLAUp ("mobilenet"); each is
+pinned by an activation-parity test in tests/test_torch_parity.py.
 
 Layout conversions:
   * conv weight (O, I, kh, kw)      -> (kh, kw, I, O)
@@ -96,12 +98,10 @@ def _strip_module(state_dict):
             for k, v in state_dict.items()}
 
 
-def convert_dla34(state_dict: Dict[str, np.ndarray]
-                  ) -> Tuple[Dict, Dict, list]:
-    """Returns (params, batch_stats, unused_keys)."""
-    sd = _strip_module(state_dict)
-    out = TreeWriter()
-    used = set()
+def _convert_dla_base(sd, out, used, src_prefix="base",
+                      dst_prefix="backbone/base"):
+    """DLA tree backbone shared by dla_34 and dlav0 (torch names
+    base.base_layer/level0/level1/levelN trees)."""
 
     def take(name):
         used.add(name)
@@ -114,7 +114,6 @@ def convert_dla34(state_dict: Dict[str, np.ndarray]
                take(f"{src_bn}.running_var"))
 
     def block(src, dst):
-        # BasicBlock: conv1/bn1 conv2/bn2
         conv_bn(f"{src}.conv1", f"{src}.bn1", f"{dst}/conv1")
         conv_bn(f"{src}.conv2", f"{src}.bn2", f"{dst}/conv2")
 
@@ -130,6 +129,52 @@ def convert_dla34(state_dict: Dict[str, np.ndarray]
         if f"{src}.project.0.weight" in sd:
             conv_bn(f"{src}.project.0", f"{src}.project.1",
                     f"{dst}/project")
+
+    b, d = src_prefix, dst_prefix
+    conv_bn(f"{b}.base_layer.0", f"{b}.base_layer.1", f"{d}/base_layer")
+    for stem in ("pre_img_layer", "pre_hm_layer"):
+        if f"{b}.{stem}.0.weight" in sd:
+            conv_bn(f"{b}.{stem}.0", f"{b}.{stem}.1", f"{d}/{stem}")
+    conv_bn(f"{b}.level0.0", f"{b}.level0.1", f"{d}/level0_0")
+    conv_bn(f"{b}.level1.0", f"{b}.level1.1", f"{d}/level1_0")
+    tree(f"{b}.level2", f"{d}/level2", 1)
+    tree(f"{b}.level3", f"{d}/level3", 2)
+    tree(f"{b}.level4", f"{d}/level4", 2)
+    tree(f"{b}.level5", f"{d}/level5", 1)
+
+
+def _convert_heads(sd, out, used, skip_prefixes):
+    """Torch head Sequentials (conv/relu alternating) -> heads/<name>."""
+
+    def take(name):
+        used.add(name)
+        return sd[name]
+
+    head_names = sorted({k.split(".")[0] for k in sd
+                         if "." in k and not k.startswith(skip_prefixes)})
+    for head in head_names:
+        idx = 0
+        ci = 0
+        while f"{head}.{idx}.weight" in sd:
+            nxt = f"{head}.{idx + 2}.weight"
+            dst = (f"heads/{head}/out" if nxt not in sd
+                   else f"heads/{head}/conv_{ci}")
+            out.conv(dst, take(f"{head}.{idx}.weight"),
+                     take(f"{head}.{idx}.bias"))
+            idx += 2
+            ci += 1
+
+
+def convert_dla34(state_dict: Dict[str, np.ndarray]
+                  ) -> Tuple[Dict, Dict, list]:
+    """Returns (params, batch_stats, unused_keys)."""
+    sd = _strip_module(state_dict)
+    out = TreeWriter()
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return sd[name]
 
     def dcn_layer(src, dst):
         out._set(out.params, f"{dst}/conv_offset_mask/kernel",
@@ -155,18 +200,7 @@ def convert_dla34(state_dict: Dict[str, np.ndarray]
                      _up_w(take(f"{src}.up_{i}.weight")))
 
     # --- base -----------------------------------------------------
-    conv_bn("base.base_layer.0", "base.base_layer.1",
-            "backbone/base/base_layer")
-    for stem in ("pre_img_layer", "pre_hm_layer"):
-        if f"base.{stem}.0.weight" in sd:
-            conv_bn(f"base.{stem}.0", f"base.{stem}.1",
-                    f"backbone/base/{stem}")
-    conv_bn("base.level0.0", "base.level0.1", "backbone/base/level0_0")
-    conv_bn("base.level1.0", "base.level1.1", "backbone/base/level1_0")
-    tree("base.level2", "backbone/base/level2", 1)
-    tree("base.level3", "backbone/base/level3", 2)
-    tree("base.level4", "backbone/base/level4", 2)
-    tree("base.level5", "backbone/base/level5", 1)
+    _convert_dla_base(sd, out, used)
 
     # --- neck -----------------------------------------------------
     ida("dla_up.ida_0", "backbone/dla_up/ida_0", 2)
@@ -175,21 +209,48 @@ def convert_dla34(state_dict: Dict[str, np.ndarray]
     ida("ida_up", "backbone/ida_up", 3)
 
     # --- heads ----------------------------------------------------
-    head_names = sorted({k.split(".")[0] for k in sd
-                         if "." in k and not k.startswith(
-                             ("base", "dla_up", "ida_up"))})
-    for head in head_names:
-        idx = 0
-        ci = 0
-        while f"{head}.{idx}.weight" in sd:
-            nxt = f"{head}.{idx + 2}.weight"
-            dst = (f"heads/{head}/out" if nxt not in sd
-                   else f"heads/{head}/conv_{ci}")
-            out.conv(dst, take(f"{head}.{idx}.weight"),
-                     take(f"{head}.{idx}.bias"))
-            idx += 2
-            ci += 1
+    _convert_heads(sd, out, used, ("base", "dla_up", "ida_up"))
 
+    unused = [k for k in sd if k not in used and "num_batches" not in k]
+    return out.params, out.stats, unused
+
+
+def convert_dlav0(state_dict: Dict[str, np.ndarray], num_layers=34
+                  ) -> Tuple[Dict, Dict, list]:
+    """DLASegv0: DLA tree base + plain-conv IDAUp pyramid
+    (reference: src/lib/model/networks/dlav0.py:440-556). proj/node are
+    conv+BN Sequentials, up_* are depthwise bilinear ConvTransposes;
+    Identity stages (matching channels / factor 1) have no params on
+    either side."""
+    sd = _strip_module(state_dict)
+    out = TreeWriter()
+    used = set()
+
+    def take(name):
+        used.add(name)
+        return sd[name]
+
+    def conv_bn(src_conv, src_bn, dst):
+        out.conv(f"{dst}/conv", take(f"{src_conv}.weight"))
+        out.bn(f"{dst}/bn", take(f"{src_bn}.weight"),
+               take(f"{src_bn}.bias"), take(f"{src_bn}.running_mean"),
+               take(f"{src_bn}.running_var"))
+
+    _convert_dla_base(sd, out, used)
+    for i in range(3):  # ida_0..ida_2 over 2/3/4 levels
+        src = f"dla_up.ida_{i}"
+        dst = f"backbone/dla_up/ida_{i}"
+        for j in range(1, i + 2):
+            if f"{src}.proj_{j}.0.weight" in sd:
+                conv_bn(f"{src}.proj_{j}.0", f"{src}.proj_{j}.1",
+                        f"{dst}/proj_{j}")
+            if f"{src}.up_{j}.weight" in sd:
+                out._set(out.params, f"{dst}/up_{j}/kernel",
+                         _up_w(take(f"{src}.up_{j}.weight")))
+            conv_bn(f"{src}.node_{j}.0", f"{src}.node_{j}.1",
+                    f"{dst}/node_{j}")
+
+    _convert_heads(sd, out, used, ("base", "dla_up"))
     unused = [k for k in sd if k not in used and "num_batches" not in k]
     return out.params, out.stats, unused
 
@@ -406,6 +467,7 @@ def convert_generic_mobilenet_dlaup(state_dict: Dict[str, np.ndarray],
 
 CONVERTERS = {
     "dla": lambda sd, n: convert_dla34(sd),
+    "dlav0": convert_dlav0,
     "resdcn": convert_resdcn,
     "res": convert_res,
     "mobilenet": convert_generic_mobilenet_dlaup,

@@ -219,3 +219,47 @@ def test_generic_mobilenet_activation_parity():
             gmap, w, rtol=1e-3, atol=1e-3,
             err_msg=f"head {head} diverges "
                     f"(max abs diff {np.abs(gmap - w).max():.2e})")
+
+
+def test_dlav0_activation_parity():
+    """DLASegv0 (plain-conv IDA pyramid + temporal stems): converted
+    reference weights must reproduce every head map.
+    reference: src/lib/model/networks/dlav0.py:440-556."""
+    from centertrack_tpu.tools.convert_torch_weights import convert_dlav0
+    from tests.torch_ref import build_reference_dlav0
+
+    model = build_reference_dlav0(HEADS, HEAD_CONVS)
+    randomize_(model, seed=9)
+    model = model.eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, stats, unused = convert_dlav0(sd)
+    assert not unused, unused[:10]
+
+    g = torch.Generator().manual_seed(10)
+    img = torch.randn(1, 3, 64, 64, generator=g)
+    pre_img = torch.randn(1, 3, 64, 64, generator=g)
+    pre_hm = torch.rand(1, 1, 64, 64, generator=g)
+    with torch.no_grad():
+        want = model(img, pre_img, pre_hm)[-1]
+
+    net = CenterTrackNet(
+        arch="dlav0", num_layers=34,
+        heads=tuple(sorted(HEADS.items())),
+        head_convs=tuple(sorted((k, tuple(v))
+                                for k, v in HEAD_CONVS.items())),
+        with_pre_img=True, with_pre_hm=True)
+    with jax.default_matmul_precision("float32"):
+        got = net.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+                        jnp.asarray(pre_img.numpy().transpose(0, 2, 3, 1)),
+                        jnp.asarray(pre_hm.numpy().transpose(0, 2, 3, 1)),
+                        train=False)[-1]
+
+    assert set(got) == set(want)
+    for head in want:
+        w = want[head].numpy().transpose(0, 2, 3, 1)
+        gmap = np.asarray(got[head])
+        np.testing.assert_allclose(
+            gmap, w, rtol=1e-3, atol=1e-3,
+            err_msg=f"head {head} diverges "
+                    f"(max abs diff {np.abs(gmap - w).max():.2e})")

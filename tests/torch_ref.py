@@ -230,3 +230,20 @@ def build_reference_generic(heads, head_convs, backbone="mobilenet",
     model = gen.GenericNetwork(0, heads, head_convs, opt=opt)
     model.opt = opt
     return model
+
+
+def build_reference_dlav0(heads, head_convs, num_layers=34):
+    """Construct the real reference DLASegv0 (plain-conv IDA pyramid,
+    reference: src/lib/model/networks/dlav0.py:531-556), stubbing the
+    ImageNet download in its dla34(pretrained=True)."""
+    import types
+    dlav0 = import_reference_networks("dlav0")
+    dlav0.model_zoo = types.SimpleNamespace(
+        load_url=lambda url, **k: {})
+    # load_pretrained_model also reads fc weights after load_url; easier
+    # to skip it entirely
+    dlav0.DLA.load_pretrained_model = lambda self, **k: None
+    opt = RefOpt()
+    model = dlav0.DLASegv0(num_layers, heads, head_convs, opt)
+    model.opt = opt
+    return model
