@@ -15,7 +15,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from centertrack_tpu.models.dla import DLA, DLA_CONFIGS, DLAUp, IDAUp
-from centertrack_tpu.models.layers import ConvBNAct, DCNLayer, UpBilinear
+from centertrack_tpu.models.layers import (ConvBNAct, DCNLayer, UpBilinear,
+                                           bilinear_diag_init)
 from centertrack_tpu.models.resnet import RESNET_SPEC, ResBasicBlock, \
     ResBottleneck
 
@@ -204,8 +205,11 @@ class DLAUpNeck(nn.Module):
 
 
 class MSRAUpNeck(nn.Module):
-    """3 x (DCN -> BN -> ReLU -> bilinear-up -> BN -> ReLU)
-    (reference: necks/msraup.py:48-135). out_channel 64 or 256."""
+    """3 x (DCN -> BN -> ReLU -> deconv -> BN -> ReLU)
+    (reference: necks/msraup.py:48-135). out_channel 64 or 256. The
+    deconv is a FULL transposed conv as in the reference (keeps trained
+    reference checkpoints convertible), initialized as an identity
+    bilinear upsampler."""
     out_channel: int = 256
     dtype: object = None
 
@@ -221,8 +225,11 @@ class MSRAUpNeck(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"dcn_bn_{i}")(x)
             x = nn.relu(x)
-            x = UpBilinear(planes, 2, dtype=self.dtype,
-                           name=f"up_{i}")(x)
+            x = nn.ConvTranspose(planes, (4, 4), strides=(2, 2),
+                                 padding="SAME", use_bias=False,
+                                 kernel_init=bilinear_diag_init(planes),
+                                 dtype=self.dtype,
+                                 name=f"up_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"up_bn_{i}")(x)

@@ -46,6 +46,26 @@ class ConvBNAct(nn.Module):
         return x
 
 
+def bilinear_diag_init(channels):
+    """Identity bilinear-upsample init for a FULL (kh,kw,in,out)
+    transposed-conv kernel: channel c upsamples to channel c, zero
+    cross-channel terms. (Cleaner than the reference's fill_up_weights,
+    which writes the bilinear stencil into output channel 0 only —
+    training erases the difference; conversion overwrites it.)"""
+    import jax.numpy as jnp
+
+    def init(rng, shape=None, dtype=jnp.float32):
+        if shape is None:
+            shape = (4, 4, channels, channels)
+        kh, kw, cin, cout = shape
+        dw = bilinear_upsample_kernel(kh // 2, cin)  # (kh,kw,1,cin)
+        k = np.zeros(shape, np.float32)
+        idx = np.arange(min(cin, cout))
+        k[:, :, idx, idx] = dw[:, :, 0, idx]
+        return jnp.asarray(k, dtype)
+    return init
+
+
 def bilinear_upsample_kernel(f: int, channels: int) -> np.ndarray:
     """Depthwise bilinear kernel of size (2f, 2f, 1, C)
     (reference: fill_up_weights, src/lib/model/networks/dla.py:454-463)."""

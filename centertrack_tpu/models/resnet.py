@@ -13,27 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from centertrack_tpu.models.layers import (ConvBNAct, DCNLayer,
-                                           bilinear_upsample_kernel)
-
-
-def _bilinear_diag_init(channels):
-    """Identity bilinear-upsample init for a FULL (kh,kw,in,out)
-    transposed-conv kernel: channel c upsamples to channel c, zero
-    cross-channel terms. (Cleaner than the reference's fill_up_weights,
-    which writes the bilinear stencil into output channel 0 only —
-    training erases the difference; conversion overwrites it.)"""
-    import numpy as np
-
-    def init(rng, shape=None, dtype=jnp.float32):
-        if shape is None:
-            shape = (4, 4, channels, channels)
-        kh, kw, cin, cout = shape
-        dw = bilinear_upsample_kernel(kh // 2, cin)  # (kh,kw,1,cin)
-        k = np.zeros(shape, np.float32)
-        idx = np.arange(min(cin, cout))
-        k[:, :, idx, idx] = dw[:, :, 0, idx]
-        return jnp.asarray(k, dtype)
-    return init
+                                           bilinear_diag_init)
 
 
 class ResBasicBlock(nn.Module):
@@ -184,7 +164,7 @@ class PoseResDCN(nn.Module):
             # convertible; initialized as an identity bilinear upsampler
             x = nn.ConvTranspose(planes, (4, 4), strides=(2, 2),
                                  padding="SAME", use_bias=False,
-                                 kernel_init=_bilinear_diag_init(planes),
+                                 kernel_init=bilinear_diag_init(planes),
                                  dtype=self.dtype,
                                  name=f"up_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -255,9 +255,11 @@ def convert_dlav0(state_dict: Dict[str, np.ndarray], num_layers=34
     return out.params, out.stats, unused
 
 
-def _convert_res_common(sd, out, used, num_layers):
-    """Trunk + heads shared by res/resdcn (reference: resdcn.py:145-196,
-    resnet.py:134-211; torch names conv1/bn1/layerL.B.*)."""
+def _convert_res_trunk(sd, out, used, num_layers, src_prefix="",
+                       dst_prefix="backbone/trunk"):
+    """Torch resnet trunk (conv1/bn1/layerL.B.*), shared by res/resdcn
+    (reference: resdcn.py:145-196, resnet.py:134-211) and the generic
+    resnet backbone (backbones/resnet.py:110-169)."""
 
     def take(name):
         used.add(name)
@@ -272,16 +274,16 @@ def _convert_res_common(sd, out, used, num_layers):
     blocks_of = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
                  50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[num_layers]
     bottleneck = num_layers >= 50
+    p, d = src_prefix, dst_prefix
 
-    conv_bn("conv1", "bn1", "backbone/trunk/conv1")
+    conv_bn(f"{p}conv1", f"{p}bn1", f"{d}/conv1")
     for stem in ("pre_img_layer", "pre_hm_layer"):
-        if f"{stem}.0.weight" in sd:
-            conv_bn(f"{stem}.0", f"{stem}.1",
-                    f"backbone/trunk/{stem}")
+        if f"{p}{stem}.0.weight" in sd:
+            conv_bn(f"{p}{stem}.0", f"{p}{stem}.1", f"{d}/{stem}")
     for li, nb in enumerate(blocks_of):
         for bi in range(nb):
-            src = f"layer{li + 1}.{bi}"
-            dst = f"backbone/trunk/layer{li + 1}_{bi}"
+            src = f"{p}layer{li + 1}.{bi}"
+            dst = f"{d}/layer{li + 1}_{bi}"
             n_convs = 3 if bottleneck else 2
             for ci in range(1, n_convs + 1):
                 conv_bn(f"{src}.conv{ci}", f"{src}.bn{ci}",
@@ -290,22 +292,13 @@ def _convert_res_common(sd, out, used, num_layers):
                 conv_bn(f"{src}.downsample.0", f"{src}.downsample.1",
                         f"{dst}/downsample")
 
-    # heads: torch Sequential under the head's name
-    skip_prefixes = ("conv1", "bn1", "layer", "deconv_layers",
-                     "pre_img_layer", "pre_hm_layer", "base", "fc")
-    head_names = sorted({k.split(".")[0] for k in sd
-                         if "." in k and not k.startswith(skip_prefixes)})
-    for head in head_names:
-        idx = 0
-        ci = 0
-        while f"{head}.{idx}.weight" in sd:
-            nxt = f"{head}.{idx + 2}.weight"
-            dst = (f"heads/{head}/out" if nxt not in sd
-                   else f"heads/{head}/conv_{ci}")
-            out.conv(dst, take(f"{head}.{idx}.weight"),
-                     take(f"{head}.{idx}.bias"))
-            idx += 2
-            ci += 1
+
+def _convert_res_common(sd, out, used, num_layers):
+    """Trunk + heads shared by res/resdcn."""
+    _convert_res_trunk(sd, out, used, num_layers)
+    _convert_heads(sd, out, used,
+                   ("conv1", "bn1", "layer", "deconv_layers",
+                    "pre_img_layer", "pre_hm_layer", "base", "fc"))
 
 
 def convert_resdcn(state_dict: Dict[str, np.ndarray], num_layers=18
@@ -372,13 +365,13 @@ def convert_res(state_dict: Dict[str, np.ndarray], num_layers=18
     return out.params, out.stats, unused
 
 
-def convert_generic_mobilenet_dlaup(state_dict: Dict[str, np.ndarray],
-                                    num_layers=0
-                                    ) -> Tuple[Dict, Dict, list]:
-    """GenericNetwork with MobileNetV2 backbone + DLAUp neck
-    (reference: networks/generic_network.py + backbones/mobilenet.py +
-    necks/dlaup.py). Torch tree: backbone.features.N / neck.dla_up /
-    neck.ida_up / <head> Sequentials."""
+def convert_generic(state_dict: Dict[str, np.ndarray],
+                    backbone: str = "mobilenet", neck: str = "dlaup",
+                    num_layers: int = 18) -> Tuple[Dict, Dict, list]:
+    """GenericNetwork: any reference backbone x neck combination
+    (reference: networks/generic_network.py + backbones/{mobilenet,
+    resnet, dla}.py + necks/{dlaup, msraup}.py). Torch tree:
+    backbone.* / neck.* / <head> Sequentials."""
     sd = _strip_module(state_dict)
     out = TreeWriter()
     used = set()
@@ -393,30 +386,39 @@ def convert_generic_mobilenet_dlaup(state_dict: Dict[str, np.ndarray],
                take(f"{src_bn}.bias"), take(f"{src_bn}.running_mean"),
                take(f"{src_bn}.running_var"))
 
-    # --- mobilenet backbone -------------------------------------------
     bb = "backbone"
     dst_bb = "backbone/backbone"
-    conv_bn(f"{bb}.features.0.0", f"{bb}.features.0.1", f"{dst_bb}/stem")
-    for stem in ("pre_img_layer", "pre_hm_layer"):
-        if f"{bb}.{stem}.0.weight" in sd:
-            conv_bn(f"{bb}.{stem}.0", f"{bb}.{stem}.1",
-                    f"{dst_bb}/{stem}")
-    fi = 1
-    while f"{bb}.features.{fi}.conv.0.0.weight" in sd:
-        src = f"{bb}.features.{fi}.conv"
-        dst = f"{dst_bb}/block_{fi - 1}"
-        # expand_ratio==1 blocks have no pw stage: [dw, pwlin, bn];
-        # others: [pw, dw, pwlin, bn] (mobilenet.py:61-72)
-        has_pw = f"{src}.3.weight" in sd
-        o = 0
-        if has_pw:
-            conv_bn(f"{src}.0.0", f"{src}.0.1", f"{dst}/pw")
-            o = 1
-        conv_bn(f"{src}.{o}.0", f"{src}.{o}.1", f"{dst}/dw")
-        conv_bn(f"{src}.{o + 1}", f"{src}.{o + 2}", f"{dst}/pw_linear")
-        fi += 1
+    if backbone == "mobilenet":
+        conv_bn(f"{bb}.features.0.0", f"{bb}.features.0.1",
+                f"{dst_bb}/stem")
+        for stem in ("pre_img_layer", "pre_hm_layer"):
+            if f"{bb}.{stem}.0.weight" in sd:
+                conv_bn(f"{bb}.{stem}.0", f"{bb}.{stem}.1",
+                        f"{dst_bb}/{stem}")
+        fi = 1
+        while f"{bb}.features.{fi}.conv.0.0.weight" in sd:
+            src = f"{bb}.features.{fi}.conv"
+            dst = f"{dst_bb}/block_{fi - 1}"
+            # expand_ratio==1 blocks have no pw stage: [dw, pwlin, bn];
+            # others: [pw, dw, pwlin, bn] (mobilenet.py:61-72)
+            has_pw = f"{src}.3.weight" in sd
+            o = 0
+            if has_pw:
+                conv_bn(f"{src}.0.0", f"{src}.0.1", f"{dst}/pw")
+                o = 1
+            conv_bn(f"{src}.{o}.0", f"{src}.{o}.1", f"{dst}/dw")
+            conv_bn(f"{src}.{o + 1}", f"{src}.{o + 2}",
+                    f"{dst}/pw_linear")
+            fi += 1
+    elif backbone == "resnet":
+        _convert_res_trunk(sd, out, used, num_layers,
+                           src_prefix="backbone.", dst_prefix=dst_bb)
+    elif backbone == "dla34":
+        _convert_dla_base(sd, out, used, src_prefix="backbone",
+                          dst_prefix=f"{dst_bb}/base")
+    else:
+        raise ValueError(f"unknown generic backbone {backbone}")
 
-    # --- dlaup neck (same ida naming as the dla arch) -----------------
     def dcn_layer(src, dst):
         out._set(out.params, f"{dst}/conv_offset_mask/kernel",
                  _dcn_offset_mask_w(take(f"{src}.conv_offset_mask.weight")))
@@ -426,43 +428,53 @@ def convert_generic_mobilenet_dlaup(state_dict: Dict[str, np.ndarray],
                  _conv_w(take(f"{src}.weight")))
         out._set(out.params, f"{dst}/bias", take(f"{src}.bias"))
 
-    def deform_node(src, dst):
-        dcn_layer(f"{src}.conv", f"{dst}/conv")
-        out.bn(f"{dst}/actf_bn", take(f"{src}.actf.0.weight"),
-               take(f"{src}.actf.0.bias"),
-               take(f"{src}.actf.0.running_mean"),
-               take(f"{src}.actf.0.running_var"))
+    if neck == "dlaup":
+        def deform_node(src, dst):
+            dcn_layer(f"{src}.conv", f"{dst}/conv")
+            out.bn(f"{dst}/actf_bn", take(f"{src}.actf.0.weight"),
+                   take(f"{src}.actf.0.bias"),
+                   take(f"{src}.actf.0.running_mean"),
+                   take(f"{src}.actf.0.running_var"))
 
-    def ida(src, dst, n):
-        for i in range(1, n):
-            deform_node(f"{src}.proj_{i}", f"{dst}/proj_{i}")
-            deform_node(f"{src}.node_{i}", f"{dst}/node_{i}")
-            out._set(out.params, f"{dst}/up_{i}/kernel",
-                     _up_w(take(f"{src}.up_{i}.weight")))
+        def ida(src, dst, n):
+            for i in range(1, n):
+                deform_node(f"{src}.proj_{i}", f"{dst}/proj_{i}")
+                deform_node(f"{src}.node_{i}", f"{dst}/node_{i}")
+                out._set(out.params, f"{dst}/up_{i}/kernel",
+                         _up_w(take(f"{src}.up_{i}.weight")))
 
-    ida("neck.dla_up.ida_0", "backbone/neck/dla_up/ida_0", 2)
-    ida("neck.dla_up.ida_1", "backbone/neck/dla_up/ida_1", 3)
-    ida("neck.dla_up.ida_2", "backbone/neck/dla_up/ida_2", 4)
-    ida("neck.ida_up", "backbone/neck/ida_up", 3)
+        ida("neck.dla_up.ida_0", "backbone/neck/dla_up/ida_0", 2)
+        ida("neck.dla_up.ida_1", "backbone/neck/dla_up/ida_1", 3)
+        ida("neck.dla_up.ida_2", "backbone/neck/dla_up/ida_2", 4)
+        ida("neck.ida_up", "backbone/neck/ida_up", 3)
+    elif neck == "msraup":
+        # 3x (DCN, BN, ReLU, deconv, BN, ReLU) at deconv_layers indices
+        # (0,1,3,4)+6i (msraup.py:90-131)
+        for i in range(3):
+            base = f"neck.deconv_layers.{6 * i}"
+            dcn_layer(base, f"backbone/neck/dcn_{i}")
+            bn1 = f"neck.deconv_layers.{6 * i + 1}"
+            out.bn(f"backbone/neck/dcn_bn_{i}", take(f"{bn1}.weight"),
+                   take(f"{bn1}.bias"), take(f"{bn1}.running_mean"),
+                   take(f"{bn1}.running_var"))
+            out._set(out.params, f"backbone/neck/up_{i}/kernel",
+                     _deconv_w(take(f"neck.deconv_layers.{6 * i + 3}"
+                                    ".weight")))
+            bn2 = f"neck.deconv_layers.{6 * i + 4}"
+            out.bn(f"backbone/neck/up_bn_{i}", take(f"{bn2}.weight"),
+                   take(f"{bn2}.bias"), take(f"{bn2}.running_mean"),
+                   take(f"{bn2}.running_var"))
+    else:
+        raise ValueError(f"unknown generic neck {neck}")
 
-    # --- heads --------------------------------------------------------
-    head_names = sorted({k.split(".")[0] for k in sd
-                         if "." in k and not k.startswith(
-                             ("backbone", "neck"))})
-    for head in head_names:
-        idx = 0
-        ci = 0
-        while f"{head}.{idx}.weight" in sd:
-            nxt = f"{head}.{idx + 2}.weight"
-            dst = (f"heads/{head}/out" if nxt not in sd
-                   else f"heads/{head}/conv_{ci}")
-            out.conv(dst, take(f"{head}.{idx}.weight"),
-                     take(f"{head}.{idx}.bias"))
-            idx += 2
-            ci += 1
-
+    _convert_heads(sd, out, used, ("backbone", "neck"))
     unused = [k for k in sd if k not in used and "num_batches" not in k]
     return out.params, out.stats, unused
+
+
+# back-compat alias
+def convert_generic_mobilenet_dlaup(state_dict, num_layers=0):
+    return convert_generic(state_dict, "mobilenet", "dlaup")
 
 
 CONVERTERS = {
@@ -470,7 +482,6 @@ CONVERTERS = {
     "dlav0": convert_dlav0,
     "resdcn": convert_resdcn,
     "res": convert_res,
-    "mobilenet": convert_generic_mobilenet_dlaup,
 }
 
 
@@ -479,6 +490,9 @@ def main():
     p.add_argument("--pth", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--arch", default="dla_34")
+    p.add_argument("--backbone", default="mobilenet",
+                   help="for --arch generic")
+    p.add_argument("--neck", default="dlaup", help="for --arch generic")
     args = p.parse_args()
     import torch
     payload = torch.load(args.pth, map_location="cpu",
@@ -486,9 +500,14 @@ def main():
     sd = payload.get("state_dict", payload)
     sd = {k: v.numpy() for k, v in sd.items()}
     base, _, depth = args.arch.partition("_")
-    assert base in CONVERTERS, \
-        f"converter supports {sorted(CONVERTERS)} archs, got {base}"
-    params, stats, unused = CONVERTERS[base](sd, int(depth or 18))
+    if base == "generic":
+        params, stats, unused = convert_generic(
+            sd, args.backbone, args.neck, int(depth or 18))
+    else:
+        assert base in CONVERTERS, \
+            f"converter supports {sorted(CONVERTERS)} + generic, " \
+            f"got {base}"
+        params, stats, unused = CONVERTERS[base](sd, int(depth or 18))
     if unused:
         print(f"WARNING: {len(unused)} unconverted keys, e.g. "
               f"{unused[:5]}")

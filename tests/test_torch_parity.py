@@ -175,19 +175,24 @@ def test_resdcn_activation_parity():
                     f"(max abs diff {np.abs(gmap - w).max():.2e})")
 
 
-def test_generic_mobilenet_activation_parity():
-    """GenericNetwork (MobileNetV2 x DLAUp, dcn nodes, temporal stems):
-    converted reference weights must reproduce every head map.
+@pytest.mark.parametrize("backbone,neck,with_pre", [
+    ("mobilenet", "dlaup", True),
+    ("resnet", "msraup", False),   # generic resnet asserts no stems
+    ("dla34", "dlaup", True),
+])
+def test_generic_activation_parity(backbone, neck, with_pre):
+    """GenericNetwork (backbone x neck, dcn nodes): converted reference
+    weights must reproduce every head map.
     reference: src/lib/model/networks/generic_network.py."""
-    from centertrack_tpu.tools.convert_torch_weights import (
-        convert_generic_mobilenet_dlaup)
+    from centertrack_tpu.tools.convert_torch_weights import convert_generic
     from tests.torch_ref import build_reference_generic
 
-    model = build_reference_generic(HEADS, HEAD_CONVS)
+    model = build_reference_generic(HEADS, HEAD_CONVS, backbone, neck,
+                                    with_pre=with_pre)
     randomize_(model, seed=7)
     model = model.eval()
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    params, stats, unused = convert_generic_mobilenet_dlaup(sd)
+    params, stats, unused = convert_generic(sd, backbone, neck, 18)
     assert not unused, unused[:10]
 
     g = torch.Generator().manual_seed(8)
@@ -195,21 +200,24 @@ def test_generic_mobilenet_activation_parity():
     pre_img = torch.randn(1, 3, 64, 64, generator=g)
     pre_hm = torch.rand(1, 1, 64, 64, generator=g)
     with torch.no_grad():
-        want = model(img, pre_img, pre_hm)[-1]
+        want = (model(img, pre_img, pre_hm) if with_pre
+                else model(img))[-1]
 
     net = CenterTrackNet(
-        arch="generic", backbone="mobilenet", neck="dlaup",
+        arch="generic", backbone=backbone, neck=neck, num_layers=18,
         dla_node="dcn",
         heads=tuple(sorted(HEADS.items())),
         head_convs=tuple(sorted((k, tuple(v))
                                 for k, v in HEAD_CONVS.items())),
-        with_pre_img=True, with_pre_hm=True)
+        with_pre_img=with_pre, with_pre_hm=with_pre)
+    args = ((jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+             jnp.asarray(pre_img.numpy().transpose(0, 2, 3, 1)),
+             jnp.asarray(pre_hm.numpy().transpose(0, 2, 3, 1)))
+            if with_pre
+            else (jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),))
     with jax.default_matmul_precision("float32"):
         got = net.apply({"params": params, "batch_stats": stats},
-                        jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
-                        jnp.asarray(pre_img.numpy().transpose(0, 2, 3, 1)),
-                        jnp.asarray(pre_hm.numpy().transpose(0, 2, 3, 1)),
-                        train=False)[-1]
+                        *args, train=False)[-1]
 
     assert set(got) == set(want)
     for head in want:

@@ -201,7 +201,8 @@ def build_reference_resdcn(heads, head_convs, num_layers=18):
 
 
 def build_reference_generic(heads, head_convs, backbone="mobilenet",
-                            neck="dlaup"):
+                            neck="dlaup", num_layers=18,
+                            with_pre=True):
     """Construct the real reference GenericNetwork (backbone x neck)
     with the torch-DCN stand-in injected into the neck module
     (reference: src/lib/model/networks/generic_network.py)."""
@@ -223,11 +224,34 @@ def build_reference_generic(heads, head_convs, backbone="mobilenet",
         sys.modules["torchvision.models.utils"] = tv_u
     dlaup_mod = importlib.import_module("model.networks.necks.dlaup")
     dlaup_mod.DCN = DCN
+    msraup_mod = importlib.import_module("model.networks.necks.msraup")
+    msraup_mod.DCN = DCN
+    # stub the ImageNet pretrained downloads in the backbones
+    zoo_stub = types.SimpleNamespace(load_url=lambda *a, **k: {})
+    bb_res = importlib.import_module("model.networks.backbones.resnet")
+    bb_res.model_zoo = zoo_stub
+    # GenericNetwork.forward always passes (x, pre_img, pre_hm), but the
+    # stemless Resnet backbone's forward only accepts x — a latent
+    # reference bug (it asserts no stems, then passes them anyway).
+    # Accept-and-ignore to make the model callable.
+    if "pre_img" not in bb_res.Resnet.forward.__code__.co_varnames:
+        _orig_res_fwd = bb_res.Resnet.forward
+        bb_res.Resnet.forward = (
+            lambda self, x, pre_img=None, pre_hm=None:
+            _orig_res_fwd(self, x))
+    bb_dla = importlib.import_module("model.networks.backbones.dla")
+    bb_dla.model_zoo = zoo_stub
+    bb_dla.DLA.load_pretrained_model = lambda self, **k: None
     gen = importlib.import_module("model.networks.generic_network")
     opt = RefOpt()
     opt.backbone = backbone
     opt.neck = neck
-    model = gen.GenericNetwork(0, heads, head_convs, opt=opt)
+    opt.num_layers = num_layers
+    opt.msra_outchannel = 256
+    if not with_pre:  # the generic resnet backbone asserts no stems
+        opt.pre_img = False
+        opt.pre_hm = False
+    model = gen.GenericNetwork(num_layers, heads, head_convs, opt=opt)
     model.opt = opt
     return model
 
