@@ -271,3 +271,43 @@ def test_dlav0_activation_parity():
             gmap, w, rtol=1e-3, atol=1e-3,
             err_msg=f"head {head} diverges "
                     f"(max abs diff {np.abs(gmap - w).max():.2e})")
+
+
+def test_posresnet_activation_parity():
+    """PoseResNet (res_18 trunk + plain deconvs): converted reference
+    weights must reproduce every head map (pins convert_res).
+    reference: src/lib/model/networks/resnet.py:134-290."""
+    from centertrack_tpu.tools.convert_torch_weights import convert_res
+    from tests.torch_ref import build_reference_posres
+
+    model = build_reference_posres(HEADS, HEAD_CONVS)
+    randomize_(model, seed=11)
+    model = model.eval()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, stats, unused = convert_res(sd, 18)
+    assert not unused, unused[:10]
+
+    g = torch.Generator().manual_seed(12)
+    img = torch.randn(1, 3, 64, 64, generator=g)
+    # the reference PoseResNet has no temporal stems (img2feats only)
+    with torch.no_grad():
+        want = model(img)[-1]
+
+    net = CenterTrackNet(
+        arch="res", num_layers=18,
+        heads=tuple(sorted(HEADS.items())),
+        head_convs=tuple(sorted((k, tuple(v))
+                                for k, v in HEAD_CONVS.items())))
+    with jax.default_matmul_precision("float32"):
+        got = net.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(img.numpy().transpose(0, 2, 3, 1)),
+                        train=False)[-1]
+
+    assert set(got) == set(want)
+    for head in want:
+        w = want[head].numpy().transpose(0, 2, 3, 1)
+        gmap = np.asarray(got[head])
+        np.testing.assert_allclose(
+            gmap, w, rtol=1e-3, atol=1e-3,
+            err_msg=f"head {head} diverges "
+                    f"(max abs diff {np.abs(gmap - w).max():.2e})")

@@ -271,3 +271,43 @@ def build_reference_dlav0(heads, head_convs, num_layers=34):
     model = dlav0.DLASegv0(num_layers, heads, head_convs, opt)
     model.opt = opt
     return model
+
+
+def build_reference_posres(heads, head_convs, num_layers=18):
+    """Construct the real reference PoseResNet (plain deconv stages,
+    reference: src/lib/model/networks/resnet.py:134-290)."""
+    import importlib
+    import types
+    resnet = import_reference_networks("resnet")
+    resnet.model_zoo = types.SimpleNamespace(load_url=lambda url: {})
+    # Reference bug: PoseResNet subclasses nn.Module yet calls
+    # super().__init__(heads, head_convs, 1, 64) — the BaseModel
+    # signature (its sibling PoseResDCN extends BaseModel correctly).
+    # Rebase the class so the reference model is constructible at all.
+    base_model = importlib.import_module("model.networks.base_model")
+    if resnet.PoseResNet.__bases__ == (torch.nn.Module,):
+        resnet.PoseResNet.__bases__ = (base_model.BaseModel,)
+    opt = RefOpt()
+    opt.rgb = False
+    # ... its super() call also drops opt (needed for prior_bias), and
+    # a SECOND bare super().__init__() at resnet.py:122 would wipe the
+    # head modules — inject the opt and no-op the bare re-init, which
+    # reconstructs the evident intent (PoseResDCN's working pattern)
+    orig_init = base_model.BaseModel.__init__
+
+    def _patched(self, heads=None, head_convs=None, num_stacks=None,
+                 last_channel=None, opt_arg=None):
+        if heads is None:
+            return  # the vestigial bare re-init
+        # the dead code passes last_channel=64 while the deconv stack
+        # emits 256 channels; 256 is the consistent (CenterNet) value
+        orig_init(self, heads, head_convs, num_stacks, 256,
+                  opt_arg if opt_arg is not None else opt)
+
+    base_model.BaseModel.__init__ = _patched
+    try:
+        model = resnet.PoseResNet(num_layers, heads, head_convs, opt)
+    finally:
+        base_model.BaseModel.__init__ = orig_init
+    model.opt = opt
+    return model
