@@ -1,0 +1,6 @@
+python -m centertrack_tpu.cli.main tracking --exp_id coco_tracking \
+  --load_model ../models/ctdet_coco_dla_2x.ckpt \
+  --batch_size 128 --num_devices 8 --lr 5e-4 --num_workers 16 \
+  --process_workers --pre_hm --shift 0.05 --scale 0.05 \
+  --hm_disturb 0.05 --lost_disturb 0.4 --fp_disturb 0.1 \
+  --compute_dtype bfloat16 --dla_node dcn_local

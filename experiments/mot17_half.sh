@@ -1,0 +1,17 @@
+# train (finetune from a converted crowdhuman checkpoint)
+python -m centertrack_tpu.tools.convert_torch_weights \
+  --pth ../models/crowdhuman.pth --arch dla_34 --out ../models/crowdhuman.ckpt
+python -m centertrack_tpu.cli.main tracking --exp_id mot17_half --dataset mot \
+  --dataset_version 17halftrain --pre_hm --ltrb_amodal --same_aug_pre \
+  --hm_disturb 0.05 --lost_disturb 0.4 --fp_disturb 0.1 \
+  --num_devices 2 --compute_dtype bfloat16 --dla_node dcn_local \
+  --load_model ../models/crowdhuman.ckpt
+# test
+python -m centertrack_tpu.cli.test tracking --exp_id mot17_half --dataset mot \
+  --dataset_version 17halfval --pre_hm --ltrb_amodal \
+  --track_thresh 0.4 --pre_thresh 0.5 --resume
+# test with public detections
+python -m centertrack_tpu.cli.test tracking --exp_id mot17_half --dataset mot \
+  --dataset_version 17halfval --pre_hm --ltrb_amodal \
+  --track_thresh 0.4 --pre_thresh 0.5 --resume \
+  --public_det --load_results ../data/mot17/results/val_half_det.json
