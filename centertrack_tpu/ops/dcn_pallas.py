@@ -22,9 +22,13 @@ parity, see tests/test_dcn_pallas.py). The remote Mosaic compiler in
 this development environment crashes (HTTP 500, no diagnostics) on any
 kernel above ~a-dozen slice-FMA blocks — bisected across plain blocks,
 offset sublane slices and pltpu.roll, so it is a toolchain limit, not a
-kernel construct. ops/dcn.deform_conv2d_local is the production path
-(the whole-model XLA graph fuses it well: 14.6 ms forward+decode at
-544x960); swap this kernel in when the Mosaic stack updates.
+kernel construct. Re-verified in round 2: per-tap and even
+one-shift-per-kernel splits of this kernel (R=1, 16/8/4/1 shift-FMA
+blocks per pallas_call) all crash identically, so splitting below the
+block threshold does not help either. ops/dcn.deform_conv2d_local is
+the production path (the whole-model XLA graph fuses it well: 14.6 ms
+forward+decode at 544x960); swap this kernel in when the Mosaic stack
+updates.
 """
 
 from __future__ import annotations
