@@ -61,10 +61,10 @@ def _kernel(x_hbm, off_ref, mask_ref, w_ref, b_ref, out_ref, xwin, sem,
         dx = jnp.clip(off_ref[0, :, :, 2 * t + 1], -r, r)
         m = mask_ref[0, :, :, t]
         sampled = jnp.zeros((row_tile, width, cin), jnp.float32)
-        for a in range(ty - r, ty + r + 2):
+        for a in range(ty - r, ty + r + 1):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty + dy - a))
             rows = xwin[a + pad: a + pad + row_tile, :, :]
-            for b in range(tx - r, tx + r + 2):
+            for b in range(tx - r, tx + r + 1):
                 wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx + dx - b))
                 seg = rows[:, b + pad: b + pad + width, :]
                 sampled = sampled + seg.astype(jnp.float32) * \
@@ -93,7 +93,7 @@ def deform_conv2d_pallas(x: jnp.ndarray, offset: jnp.ndarray,
     assert (kh, kw) == (3, 3)
     b, h, w, _ = x.shape
     r = max_offset
-    pad = 1 + r + 1
+    pad = 1 + r
     h_pad = (-h) % row_tile
     xp = jnp.pad(x, ((0, 0), (pad, pad + h_pad), (pad, pad), (0, 0)))
     if h_pad:
