@@ -78,9 +78,18 @@ class DataLoader:
 
         def produce():
             if self.use_processes:
+                # Pin the documented fork semantics explicitly: Python
+                # 3.14 flips the default start method to forkserver,
+                # which would pickle the whole dataset per pool. Note
+                # fork from a process with live threads (this producer
+                # thread, or an initialized JAX client) is inherently
+                # deadlock-prone — create loaders before heavy JAX use
+                # or prefer thread workers (the default).
+                import multiprocessing
                 pool = ProcessPoolExecutor(
                     self.num_workers, initializer=_proc_init,
-                    initargs=(self.dataset,))
+                    initargs=(self.dataset,),
+                    mp_context=multiprocessing.get_context("fork"))
                 fetch = lambda chunk: pool.map(_proc_get, [
                     (i, int(self.rng.randint(1 << 31))) for i in chunk])
             else:

@@ -241,12 +241,24 @@ class NuScenes(GenericDataset):
                 q = Quat(info["pose_record_rot"]) * (
                     Quat(info["cs_record_rot"]) * rot_cam)
                 from centertrack_tpu.eval.nuscenes_eval import quat_to_yaw
-                key = ("t", ann["track_id"]) if "track_id" in ann else \
-                    ("p", round(float(translation[0]), 1),
-                     round(float(translation[1]), 1), name)
-                if key in seen[token]:
-                    continue
-                seen[token].add(key)
+                if "track_id" in ann:
+                    key = ("t", ann["track_id"])
+                    if key in seen[token]:
+                        continue
+                    seen[token].add(key)
+                else:
+                    # No track_id: a multi-camera duplicate reprojects
+                    # to nearly the same global position, so dedup by
+                    # nearest neighbor of the same class within 1 m
+                    # (rounded-cell equality both double-counts real
+                    # duplicates landing in different 0.1 m cells and
+                    # merges distinct objects sharing a cell).
+                    tx, ty = float(translation[0]), float(translation[1])
+                    if any(g["detection_name"] == name and
+                           (g["translation"][0] - tx) ** 2 +
+                           (g["translation"][1] - ty) ** 2 < 1.0
+                           for g in gt[token]):
+                        continue
                 gt[token].append({
                     "translation": [float(v) for v in translation[:3]],
                     "size": size,

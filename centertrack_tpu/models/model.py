@@ -220,18 +220,19 @@ def load_model(path: str, params_template=None, batch_stats_template=None,
     if params_template is not None:
         log: list = []
         p_tmpl = flax.serialization.to_state_dict(params_template)
-        b_tmpl = flax.serialization.to_state_dict(batch_stats_template)
         merged_p = _merge_tree(p_tmpl, payload["params"], reset_hm,
                                reuse_hm, log)
-        merged_b = _merge_tree(b_tmpl, payload["batch_stats"], reset_hm,
-                               reuse_hm, log)
+        out["params"] = flax.serialization.from_state_dict(
+            params_template, merged_p)
+        if batch_stats_template is not None:
+            b_tmpl = flax.serialization.to_state_dict(batch_stats_template)
+            merged_b = _merge_tree(b_tmpl, payload["batch_stats"],
+                                   reset_hm, reuse_hm, log)
+            out["batch_stats"] = flax.serialization.from_state_dict(
+                batch_stats_template, merged_b)
         if verbose:
             for line in log:
                 print(line)
-        out["params"] = flax.serialization.from_state_dict(
-            params_template, merged_p)
-        out["batch_stats"] = flax.serialization.from_state_dict(
-            batch_stats_template, merged_b)
         if opt_state_template is not None and "opt_state" in payload:
             out["opt_state"] = flax.serialization.from_state_dict(
                 opt_state_template, payload["opt_state"])

@@ -118,9 +118,12 @@ def _deform_conv2d_slot(x, offset, mask, weight, bias):
             px = jnp.clip(px, -1.0, float(w))
             y0 = jnp.floor(py)
             x0 = jnp.floor(px)
-            fy = (py - y0).astype(x.dtype)
-            fx = (px - x0).astype(x.dtype)
-            m = mask[..., t]
+            # interpolation weights stay fp32 (matching the small-map
+            # path) so results agree across the h*w crossover; the
+            # corner-combine einsum accumulates in fp32 explicitly.
+            fy = py - y0
+            fx = px - x0
+            m = mask[..., t].astype(jnp.float32)
             cw = jnp.stack([(1 - fy) * (1 - fx), (1 - fy) * fx,
                             fy * (1 - fx), fy * fx], -1) * m[..., None]
             # +1 shifts into the pad ring; always in range by the clamp
@@ -129,7 +132,9 @@ def _deform_conv2d_slot(x, offset, mask, weight, bias):
             vals = jnp.take_along_axis(xc, idx[:, :, None], axis=1,
                                        mode="clip")
             vals = vals.reshape(b, h, w, 4, cin)
-            sampled = jnp.einsum("bhwsc,bhws->bhwc", vals, cw)
+            sampled = jnp.einsum("bhwsc,bhws->bhwc", vals, cw,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(x.dtype)
             out = out + jnp.einsum(
                 "bhwc,cd->bhwd", sampled, weight[i, j],
                 preferred_element_type=jnp.float32)
