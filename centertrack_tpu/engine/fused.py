@@ -196,23 +196,226 @@ class FusedDetector:
               out_thresh: float) -> List[Dict]:
         """Materialize lazy per-frame results into the host dict-list
         format the datasets' save_results expect."""
-        host = {k: np.asarray(v) for k, v in results.items()}
-        out = []
-        for i in range(len(host["scores"])):
-            # filter (not break): robust to any future score-mutating
-            # step between decode and fetch breaking the sort order
-            if host["scores"][i] <= out_thresh:
-                continue
-            if host["tracking_id"][i] <= 0:
-                continue
-            out.append({
-                "score": float(host["scores"][i]),
-                "class": int(host["classes"][i]),
-                "ct": host["cts"][i],
-                "tracking": host["tracking"][i],
-                "bbox": host["bboxes"][i],
-                "tracking_id": int(host["tracking_id"][i]),
-                "age": int(host["age"][i]),
-                "active": int(host["active"][i]),
-            })
-        return out
+        return _fetch_one(
+            {k: np.asarray(v) for k, v in results.items()}, out_thresh)
+
+
+def _fetch_one(host: Dict[str, np.ndarray], out_thresh: float
+               ) -> List[Dict]:
+    out = []
+    for i in range(len(host["scores"])):
+        # filter (not break): robust to any future score-mutating
+        # step between decode and fetch breaking the sort order
+        if host["scores"][i] <= out_thresh:
+            continue
+        if host["tracking_id"][i] <= 0:
+            continue
+        out.append({
+            "score": float(host["scores"][i]),
+            "class": int(host["classes"][i]),
+            "ct": host["cts"][i],
+            "tracking": host["tracking"][i],
+            "bbox": host["bboxes"][i],
+            "tracking_id": int(host["tracking_id"][i]),
+            "age": int(host["age"][i]),
+            "active": int(host["active"][i]),
+        })
+    return out
+
+
+class MultiStreamDetector:
+    """Tracks S independent video streams in ONE batched device program.
+
+    B=1 inference leaves the TPU's MXU almost entirely idle (the r2
+    headline ran at ~2% MFU); batching S streams through the same
+    warp -> pre_hm -> network -> decode -> association pipeline converts
+    that idle matmul capacity into aggregate throughput — the TPU
+    equivalent of the reference's DataLoader-prefetch throughput mode
+    (reference: src/test.py:53-130), but with S concurrent sequences
+    instead of pipelined pre-processing.
+
+    Semantics per stream are IDENTICAL to FusedDetector: track state is
+    a capacity-T array pytree with a leading stream axis, associated by
+    a vmapped device_tracker.step; streams never interact.
+
+    Typical use: sharded offline eval (one video per stream) or serving
+    many cameras from one chip.
+    """
+
+    def __init__(self, cfg, streams: int, params=None, batch_stats=None,
+                 dataset_meta=None):
+        assert cfg.tracking, "MultiStreamDetector is for tracking tasks"
+        self.cfg = cfg
+        self.streams = int(streams)
+        if dataset_meta is None:
+            from centertrack_tpu.data.registry import get_dataset_meta
+            dataset_meta = get_dataset_meta(cfg.dataset, cfg)
+        self.mean = jnp.asarray(
+            np.asarray(dataset_meta.mean, np.float32).reshape(3))
+        self.std = jnp.asarray(
+            np.asarray(dataset_meta.std, np.float32).reshape(3))
+        self.model = create_model(cfg.arch, cfg.heads_dict,
+                                  cfg.head_convs_dict, cfg)
+        if params is None:
+            if cfg.load_model:
+                tp, tb = init_model(self.model, cfg)
+                ckpt = load_model(cfg.load_model, tp, tb)
+                params, batch_stats = ckpt["params"], ckpt["batch_stats"]
+            else:
+                params, batch_stats = init_model(self.model, cfg)
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.capacity = cfg.max_tracks
+        self._step = {}
+        self.reset_tracking()
+
+    # -- state management ---------------------------------------------
+    def reset_tracking(self):
+        single = dt.init_state(self.capacity)
+        self.track_state = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (self.streams,) + a.shape),
+            single)
+        self.pre_images = None
+        self._fresh = np.ones((self.streams,), bool)
+
+    def reset_stream(self, i: int):
+        """Reset one stream's tracks (video boundary,
+        reference: test.py:90-100 -> detector.reset_tracking)."""
+        single = dt.init_state(self.capacity)
+        self.track_state = jax.tree_util.tree_map(
+            lambda a, z: a.at[i].set(z), self.track_state, single)
+        self._fresh[i] = True
+
+    # ------------------------------------------------------------------
+    def _build(self, in_shape):
+        cfg = self.cfg
+        model = self.model
+        mean, std = self.mean, self.std
+        k = cfg.K
+
+        def warp_one(frame_u8, inv_trans):
+            return preprocess_frame(frame_u8, inv_trans, cfg.input_h,
+                                    cfg.input_w, mean, std,
+                                    axis_aligned=True)[0]
+
+        def prehm_one(state, trans_input):
+            use_track = (state.valid & (state.active > 0) &
+                         (state.scores >= cfg.pre_thresh))
+            tl = _affine_pts(state.bboxes[:, 0:2], trans_input)
+            br = _affine_pts(state.bboxes[:, 2:4], trans_input)
+            x1 = jnp.clip(tl[:, 0], 0, cfg.input_w - 1)
+            y1 = jnp.clip(tl[:, 1], 0, cfg.input_h - 1)
+            x2 = jnp.clip(br[:, 0], 0, cfg.input_w - 1)
+            y2 = jnp.clip(br[:, 1], 0, cfg.input_h - 1)
+            h = y2 - y1
+            w = x2 - x1
+            use_track = use_track & (h > 0) & (w > 0)
+            radius = jnp.maximum(0, jnp.floor(gaussian_radius_jax(
+                jnp.ceil(h), jnp.ceil(w)))).astype(jnp.int32)
+            cts = jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2], axis=1)
+            return render_pre_hm(
+                cfg.input_h, cfg.input_w, cts.astype(jnp.int32), radius,
+                jnp.ones_like(radius, jnp.float32), use_track)
+
+        def post_one(dets, inv_trans_output):
+            scores = dets["scores"]
+            clses = dets["clses"].astype(jnp.int32) + 1
+            cts_out = dets["cts"]
+            cts_img = _affine_pts(cts_out, inv_trans_output)
+            tracking_img = _affine_pts(
+                dets["tracking"] + cts_out, inv_trans_output) - cts_img
+            bb = dets["bboxes"]
+            p1 = _affine_pts(bb[:, 0:2], inv_trans_output)
+            p2 = _affine_pts(bb[:, 2:4], inv_trans_output)
+            bboxes_img = jnp.concatenate([p1, p2], axis=1)
+            return scores, clses, cts_img, tracking_img, bboxes_img
+
+        def assoc_one(state, scores, clses, cts_img, tracking_img,
+                      bboxes_img):
+            return dt.step(state, scores, clses, cts_img, tracking_img,
+                           bboxes_img, cfg.out_thresh, cfg.new_thresh,
+                           cfg.max_age)
+
+        @jax.jit
+        def step(params, batch_stats, frames_u8, inv_trans_input,
+                 trans_input, inv_trans_output, fresh, pre_images,
+                 state):
+            images = jax.vmap(warp_one)(frames_u8, inv_trans_input)
+            # fresh streams condition on the current frame (the
+            # single-stream engine does the same on its first frame)
+            pre_in = jnp.where(fresh[:, None, None, None], images,
+                               pre_images)
+            pre_hm = jax.vmap(prehm_one)(state, trans_input)
+            if cfg.zero_pre_hm:
+                pre_hm = pre_hm * 0
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, pre_in if cfg.pre_img else None,
+                pre_hm if cfg.pre_hm else None, train=False)[-1]
+            out = sigmoid_output(out, cfg.depth_scale)
+            dets = generic_decode(out, k, cfg.num_classes,
+                                  cfg.zero_tracking)
+            scores, clses, cts_img, tracking_img, bboxes_img = \
+                jax.vmap(post_one)(dets, inv_trans_output)
+            new_state, assoc = jax.vmap(assoc_one)(
+                state, scores, clses, cts_img, tracking_img, bboxes_img)
+            results = {
+                "scores": scores, "classes": clses, "cts": cts_img,
+                "tracking": tracking_img, "bboxes": bboxes_img,
+                "tracking_id": assoc["tracking_id"],
+                "age": assoc["age"], "active": assoc["active"],
+            }
+            return images, new_state, results
+
+        self._step[in_shape] = step
+        return step
+
+    # ------------------------------------------------------------------
+    def run(self, images) -> Dict[str, jnp.ndarray]:
+        """Advance every stream by one frame. `images` is a sequence of
+        S same-shaped uint8 frames (host or device) or a stacked
+        (S, H, W, 3) array. Returns lazy (S, K, ...) result arrays."""
+        cfg = self.cfg
+        if isinstance(images, (list, tuple)):
+            first = images[0]
+        else:
+            first = images[0] if images.ndim == 4 else images
+        height, width = first.shape[:2]
+        c = np.array([width / 2.0, height / 2.0], np.float32)
+        s = max(height, width) * 1.0
+        trans_input = get_affine_transform(
+            c, s, 0, [cfg.input_w, cfg.input_h]).astype(np.float32)
+        inv_trans_input = invert_affine(trans_input).astype(np.float32)
+        out_w, out_h = cfg.input_w // cfg.down_ratio, \
+            cfg.input_h // cfg.down_ratio
+        inv_trans_output = get_affine_transform(
+            c, s, 0, [out_w, out_h], inv=1).astype(np.float32)
+
+        in_shape = (self.streams, height, width, 3)
+        step = self._step.get(in_shape) or self._build(in_shape)
+        if isinstance(images, (list, tuple)):
+            frames = jnp.stack([jnp.asarray(f) for f in images])
+        else:
+            frames = jnp.asarray(images)
+        tile = lambda m: jnp.asarray(
+            np.broadcast_to(m, (self.streams,) + m.shape))
+        if self.pre_images is None:
+            self.pre_images = jnp.zeros(
+                (self.streams, cfg.input_h, cfg.input_w, 3), jnp.float32)
+        fresh = jnp.asarray(self._fresh)
+        images_w, self.track_state, results = step(
+            self.params, self.batch_stats, frames,
+            tile(inv_trans_input), tile(trans_input),
+            tile(inv_trans_output), fresh, self.pre_images,
+            self.track_state)
+        self.pre_images = images_w
+        self._fresh[:] = False
+        return results
+
+    @staticmethod
+    def fetch_stream(results: Dict[str, jnp.ndarray], stream: int,
+                     out_thresh: float) -> List[Dict]:
+        """Materialize one stream's results (same format as
+        FusedDetector.fetch)."""
+        host = {k: np.asarray(v[stream]) for k, v in results.items()}
+        return _fetch_one(host, out_thresh)
