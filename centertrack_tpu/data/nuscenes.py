@@ -259,10 +259,20 @@ class NuScenes(GenericDataset):
                            (g["translation"][1] - ty) ** 2 < 1.0
                            for g in gt[token]):
                         continue
+                vel = [0.0, 0.0]
+                v_cam = ann.get("velocity", None)
+                if v_cam is not None and len(v_cam) >= 3 and \
+                        min(v_cam[:3]) > -1000:
+                    vg = trans_matrix @ np.array(
+                        [v_cam[0], v_cam[1], v_cam[2], 0], np.float32)
+                    vel = [float(vg[0]), float(vg[1])]
                 gt[token].append({
                     "translation": [float(v) for v in translation[:3]],
                     "size": size,
                     "yaw": quat_to_yaw(q.q),
+                    "velocity": vel,
+                    "attribute_name": self.id_to_attribute.get(
+                        int(ann.get("attributes", 0)), ""),
                     "detection_name": name,
                     "tracking_name": name,
                     "tracking_id": ann.get("track_id", 0),

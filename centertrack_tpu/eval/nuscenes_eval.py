@@ -11,8 +11,15 @@ Detection (Caesar et al., "nuScenes: a multimodal dataset", CVPR 2020):
   unmatched GT of the class on the ground plane; AP is the normalized
   mean of 101-point interpolated precision over recall in (0.1, 1]
   with precision baseline 0.1 subtracted. mAP averages classes and
-  thresholds. True-positive errors (ATE/ASE/AOE) are measured at the
-  2 m threshold; NDS = (4*mAP + sum(1 - min(1, err))) / 7.
+  thresholds. True-positive errors (ATE/ASE/AOE/AVE/AAE) are measured
+  at the 2 m threshold with the devkit's class exclusions (barrier:
+  no velocity/attribute; traffic_cone: no orientation/velocity/
+  attribute; barrier orientation on a 180-degree period) and the
+  OFFICIAL devkit score
+      NDS = (5*mAP + sum_5(1 - min(1, err))) / 10.
+  A 3-error variant (`nds_3err`, the pre-round-3 number that ignored
+  AVE/AAE) is kept only as a clearly-named fallback for result files
+  that lack velocity/attribute fields.
 
 Tracking (Weng & Kitani AB3DMOT AMOTA, as adopted by nuScenes):
   per class: a 40-point sweep of target recalls in [0.1, 1]; each
@@ -84,6 +91,16 @@ def _class_dets(pred: Dict[str, List[dict]], name: str,
     return out
 
 
+# devkit per-class TP-metric exclusions (nuscenes-devkit
+# eval/detection/algo.py calc_tp + configs: cones have no orientation,
+# barriers/cones have no velocity or attributes; barrier orientation is
+# 180-degree periodic)
+NO_ORIENT = ("traffic_cone",)
+NO_VEL = ("barrier", "traffic_cone")
+NO_ATTR = ("barrier", "traffic_cone")
+PERIOD_PI = ("barrier",)
+
+
 def _greedy_match_curve(gt: Dict[str, List[dict]],
                         pred: Dict[str, List[dict]], name: str,
                         dist_th: float, key: str = "detection"):
@@ -91,7 +108,9 @@ def _greedy_match_curve(gt: Dict[str, List[dict]],
 
     Returns (tp flags, scores, match errors, npos): the devkit's
     accumulate() core. Each GT can be claimed once; a prediction takes
-    the closest free GT of its sample if within dist_th.
+    the closest free GT of its sample if within dist_th. Each TP error
+    entry is (trans_err, scale_err, orient_err, vel_err, attr_err)
+    with NaN where the field is unavailable or excluded for the class.
     """
     npos = sum(1 for boxes in gt.values() for b in boxes
                if b[f"{key}_name"] == name)
@@ -102,7 +121,8 @@ def _greedy_match_curve(gt: Dict[str, List[dict]],
     dets = _class_dets(pred, name, key)
     tp = np.zeros(len(dets), bool)
     scores = np.array([d[0] for d in dets], np.float64)
-    errs = []  # (trans_err, scale_err, orient_err) per TP
+    errs = []
+    period = np.pi if name in PERIOD_PI else 2 * np.pi
     for i, (score, token, box) in enumerate(dets):
         cands = gt_by_token.get(token, [])
         best_j, best_d = -1, dist_th
@@ -118,12 +138,28 @@ def _greedy_match_curve(gt: Dict[str, List[dict]],
             taken[token].add(best_j)
             tp[i] = True
             g = cands[best_j]
+            if name in NO_ORIENT:
+                oe = np.nan
+            else:
+                oe = _yaw_diff(float(box.get("yaw", 0.0)),
+                               float(g.get("yaw", 0.0)), period)
+            if name in NO_VEL or "velocity" not in box or \
+                    "velocity" not in g:
+                ve = np.nan
+            else:
+                ve = float(np.linalg.norm(
+                    np.asarray(box["velocity"][:2], np.float64) -
+                    np.asarray(g["velocity"][:2], np.float64)))
+            if name in NO_ATTR or not g.get("attribute_name", ""):
+                ae = np.nan
+            else:
+                ae = 0.0 if box.get("attribute_name", "") == \
+                    g["attribute_name"] else 1.0
             errs.append((
                 best_d,
                 1.0 - _size_iou(box.get("size", (1, 1, 1)),
                                 g.get("size", (1, 1, 1))),
-                _yaw_diff(float(box.get("yaw", 0.0)),
-                          float(g.get("yaw", 0.0))),
+                oe, ve, ae,
             ))
     return tp, scores, errs, npos
 
@@ -152,6 +188,9 @@ def detection_metrics(gt: Dict[str, List[dict]],
     """nuScenes 3D detection metrics. gt/pred: sample_token -> boxes."""
     label_aps: Dict[str, Dict[float, float]] = {}
     tp_errors: Dict[str, Dict[str, float]] = {}
+    keys = ("ate", "ase", "aoe", "ave", "aae")
+    # devkit worst-case fill-ins when a class has zero TPs
+    worst = {"ate": 1.0, "ase": 1.0, "aoe": np.pi, "ave": 1.0, "aae": 1.0}
     for name in class_names:
         if not any(b["detection_name"] == name
                    for boxes in gt.values() for b in boxes):
@@ -161,25 +200,43 @@ def detection_metrics(gt: Dict[str, List[dict]],
             tp, _, errs, npos = _greedy_match_curve(gt, pred, name, d)
             label_aps[name][d] = _calc_ap(tp, npos)
             if d == TP_DIST_TH:
-                if errs:
-                    e = np.asarray(errs, np.float64)
-                    tp_errors[name] = {"ate": float(e[:, 0].mean()),
-                                       "ase": float(e[:, 1].mean()),
-                                       "aoe": float(e[:, 2].mean())}
-                else:
-                    tp_errors[name] = {"ate": 1.0, "ase": 1.0,
-                                       "aoe": np.pi}
+                excl = set()
+                if name in NO_ORIENT:
+                    excl.add("aoe")
+                if name in NO_VEL:
+                    excl.add("ave")
+                if name in NO_ATTR:
+                    excl.add("aae")
+                e = np.asarray(errs, np.float64).reshape(-1, 5)
+                cls_errs = {}
+                for ki, k in enumerate(keys):
+                    if k in excl:
+                        cls_errs[k] = np.nan  # undefined for this class
+                        continue
+                    col = e[:, ki]
+                    col = col[~np.isnan(col)]
+                    cls_errs[k] = float(col.mean()) if len(col) else \
+                        worst[k]
+                tp_errors[name] = cls_errs
     mean_ap = float(np.mean([ap for c in label_aps.values()
                              for ap in c.values()])) if label_aps else 0.0
-    mean_errs = {k: float(np.mean([tp_errors[c][k] for c in tp_errors]))
-                 for k in ("ate", "ase", "aoe")} if tp_errors else {
-        "ate": 1.0, "ase": 1.0, "aoe": np.pi}
-    # NDS over the TP metrics we compute (ATE, ASE, AOE)
-    tp_score = sum(1.0 - min(1.0, mean_errs[k])
-                   for k in ("ate", "ase", "aoe"))
-    nds = (4.0 * mean_ap + tp_score) / 7.0
+    mean_errs = {}
+    for k in keys:
+        vals = [tp_errors[c][k] for c in tp_errors
+                if not np.isnan(tp_errors[c][k])]
+        mean_errs[k] = float(np.mean(vals)) if vals else worst[k]
+    # official devkit NDS over all five TP metrics
+    # (reference consumes this number via the devkit subprocess,
+    # src/lib/dataset/datasets/nuscenes.py:202-221)
+    tp_score5 = sum(1.0 - min(1.0, mean_errs[k]) for k in keys)
+    nds = (5.0 * mean_ap + tp_score5) / 10.0
+    # legacy 3-error variant (rounds 1-2 reported this as "nds")
+    tp_score3 = sum(1.0 - min(1.0, mean_errs[k])
+                    for k in ("ate", "ase", "aoe"))
+    nds_3err = (4.0 * mean_ap + tp_score3) / 7.0
     return {"mean_ap": mean_ap, "label_aps": label_aps,
-            "tp_errors": tp_errors, "mean_errors": mean_errs, "nds": nds}
+            "tp_errors": tp_errors, "mean_errors": mean_errs,
+            "nds": nds, "nds_3err": nds_3err}
 
 
 # ----------------------------------------------------------------------

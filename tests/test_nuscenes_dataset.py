@@ -50,7 +50,9 @@ def nusc_fixture(tmp_path_factory):
                 "location": loc, "dim": dim, "rotation_y": 0.3 * k,
                 "depth": loc[2], "amodel_center": [400, 224],
                 "occluded": 0, "truncated": 0,
-                "attributes": 0, "velocity": [0, 0, 0],
+                # 6 = vehicle.moving: what zero attribute logits decode
+                # to, so GT-copied predictions stay attribute-perfect
+                "attributes": 6, "velocity": [0, 0, 0],
             })
             aid += 1
     data = {

@@ -9,9 +9,13 @@ from centertrack_tpu.eval.nuscenes_eval import (detection_metrics,
 
 
 def _box(token, x, y, name="car", score=0.9, tid=1, size=(2, 4, 1.5),
-         yaw=0.0):
+         yaw=0.0, vel=(0.0, 0.0), attr=None):
+    if attr is None:
+        attr = {"car": "vehicle.moving",
+                "pedestrian": "pedestrian.moving"}.get(name, "")
     return {"sample_token": token, "translation": [x, y, 1.0],
-            "size": list(size), "yaw": yaw,
+            "size": list(size), "yaw": yaw, "velocity": list(vel),
+            "attribute_name": attr,
             "detection_name": name, "detection_score": score,
             "tracking_name": name, "tracking_score": score,
             "tracking_id": tid}
@@ -80,6 +84,47 @@ def test_detection_orientation_and_scale_errors():
     m = detection_metrics(gt, pred, ["car"])
     np.testing.assert_allclose(m["tp_errors"]["car"]["aoe"], np.pi / 2)
     np.testing.assert_allclose(m["tp_errors"]["car"]["ase"], 0.5)
+
+
+def test_detection_velocity_and_attribute_errors():
+    """Official 5-term NDS: AVE is the 2D velocity L2 error, AAE is
+    1 - attribute accuracy over TPs (devkit definitions,
+    reference consumer: src/lib/dataset/datasets/nuscenes.py:202-221)."""
+    gt = {"s0": [_box("s0", 0.0, 0.0, vel=(1.0, 0.0),
+                      attr="vehicle.moving"),
+                 _box("s0", 10.0, 0.0, vel=(0.0, 0.0),
+                      attr="vehicle.parked")]}
+    pred = {"s0": [_box("s0", 0.0, 0.0, vel=(1.0, 2.0),
+                        attr="vehicle.moving"),
+                   _box("s0", 10.0, 0.0, vel=(0.0, 0.0),
+                        attr="vehicle.moving")]}
+    m = detection_metrics(gt, pred, ["car"])
+    np.testing.assert_allclose(m["tp_errors"]["car"]["ave"], 1.0)
+    np.testing.assert_allclose(m["tp_errors"]["car"]["aae"], 0.5)
+    # NDS = (5*1 + (1-0) + (1-0) + (1-0) + (1-min(1,1)) + (1-0.5)) / 10
+    np.testing.assert_allclose(m["nds"], (5 + 3 + 0 + 0.5) / 10.0)
+    # the legacy 3-error variant ignores both
+    np.testing.assert_allclose(m["nds_3err"], 1.0)
+
+
+def test_detection_class_exclusions():
+    """Barrier has no velocity/attribute terms and a 180-degree
+    orientation period; traffic_cone has no orientation either."""
+    gt = {"s0": [_box("s0", 0.0, 0.0, name="barrier", yaw=0.0,
+                      vel=(0.0, 0.0), attr="")]}
+    pred = {"s0": [_box("s0", 0.0, 0.0, name="barrier", yaw=np.pi,
+                        vel=(5.0, 5.0), attr="junk")]}
+    m = detection_metrics(gt, pred, ["barrier"])
+    # pi flip == 0 under the barrier's pi period
+    np.testing.assert_allclose(m["tp_errors"]["barrier"]["aoe"], 0.0,
+                               atol=1e-9)
+    assert np.isnan(m["tp_errors"]["barrier"]["ave"])
+    assert np.isnan(m["tp_errors"]["barrier"]["aae"])
+    gt = {"s0": [_box("s0", 0.0, 0.0, name="traffic_cone", yaw=0.0)]}
+    pred = {"s0": [_box("s0", 0.0, 0.0, name="traffic_cone",
+                        yaw=2.0)]}
+    m = detection_metrics(gt, pred, ["traffic_cone"])
+    assert np.isnan(m["tp_errors"]["traffic_cone"]["aoe"])
 
 
 def _track_world(n_frames=6, n_tracks=2):
