@@ -41,6 +41,13 @@ def main(argv=None):
     load_path = cfg.load_model
     if cfg.resume and not load_path:
         load_path = os.path.join(save_dir, "model_last.ckpt")
+    if cfg.load_backbone and not (cfg.resume or cfg.load_model):
+        # ImageNet backbone-only init: merge trunk weights, keep the
+        # fresh neck/head init (reference: dla.py:318-329 pretrain)
+        ckpt = load_model(cfg.load_backbone, params, batch_stats,
+                          verbose=False)
+        params, batch_stats = ckpt["params"], ckpt["batch_stats"]
+        print(f"initialized backbone from {cfg.load_backbone}")
     trainer = Trainer(cfg, model, params, batch_stats)
     if load_path and os.path.exists(load_path):
         ckpt = load_model(load_path, params, batch_stats,

@@ -39,6 +39,11 @@ class Config:
     exp_id: str = "default"
     debug: int = 0
     load_model: str = ""
+    # backbone-only ImageNet pretrain (converted by
+    # tools/convert_torch_weights.py --backbone_only); merged onto the
+    # fresh init before training, reproducing the reference's
+    # pretrain->finetune entry (reference: dla.py:318-329)
+    load_backbone: str = ""
     resume: bool = False
 
     # --- system ----------------------------------------------------------

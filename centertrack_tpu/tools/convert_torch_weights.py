@@ -101,7 +101,10 @@ def _strip_module(state_dict):
 def _convert_dla_base(sd, out, used, src_prefix="base",
                       dst_prefix="backbone/base"):
     """DLA tree backbone shared by dla_34 and dlav0 (torch names
-    base.base_layer/level0/level1/levelN trees)."""
+    base.base_layer/level0/level1/levelN trees). src_prefix="" handles
+    backbone-only checkpoints (upstream ImageNet DLA,
+    reference: src/lib/model/networks/dla.py:318-329, whose keys are
+    unprefixed base_layer/levelN)."""
 
     def take(name):
         used.add(name)
@@ -130,17 +133,18 @@ def _convert_dla_base(sd, out, used, src_prefix="base",
             conv_bn(f"{src}.project.0", f"{src}.project.1",
                     f"{dst}/project")
 
-    b, d = src_prefix, dst_prefix
-    conv_bn(f"{b}.base_layer.0", f"{b}.base_layer.1", f"{d}/base_layer")
+    b = f"{src_prefix}." if src_prefix else ""
+    d = dst_prefix
+    conv_bn(f"{b}base_layer.0", f"{b}base_layer.1", f"{d}/base_layer")
     for stem in ("pre_img_layer", "pre_hm_layer"):
-        if f"{b}.{stem}.0.weight" in sd:
-            conv_bn(f"{b}.{stem}.0", f"{b}.{stem}.1", f"{d}/{stem}")
-    conv_bn(f"{b}.level0.0", f"{b}.level0.1", f"{d}/level0_0")
-    conv_bn(f"{b}.level1.0", f"{b}.level1.1", f"{d}/level1_0")
-    tree(f"{b}.level2", f"{d}/level2", 1)
-    tree(f"{b}.level3", f"{d}/level3", 2)
-    tree(f"{b}.level4", f"{d}/level4", 2)
-    tree(f"{b}.level5", f"{d}/level5", 1)
+        if f"{b}{stem}.0.weight" in sd:
+            conv_bn(f"{b}{stem}.0", f"{b}{stem}.1", f"{d}/{stem}")
+    conv_bn(f"{b}level0.0", f"{b}level0.1", f"{d}/level0_0")
+    conv_bn(f"{b}level1.0", f"{b}level1.1", f"{d}/level1_0")
+    tree(f"{b}level2", f"{d}/level2", 1)
+    tree(f"{b}level3", f"{d}/level3", 2)
+    tree(f"{b}level4", f"{d}/level4", 2)
+    tree(f"{b}level5", f"{d}/level5", 1)
 
 
 def _convert_heads(sd, out, used, skip_prefixes):
@@ -293,6 +297,86 @@ def _convert_res_trunk(sd, out, used, num_layers, src_prefix="",
                         f"{dst}/downsample")
 
 
+def _convert_mobilenet_trunk(sd, out, used, src_prefix="",
+                             dst_prefix="backbone/backbone"):
+    """MobileNetV2 inverted-residual trunk (torchvision `features.N`
+    names, which the reference's backbone reuses —
+    backbones/mobilenet.py:130-176). src_prefix="" handles a raw
+    torchvision ImageNet checkpoint (classifier.* left unused)."""
+
+    def take(name):
+        used.add(name)
+        return sd[name]
+
+    def conv_bn(src_conv, src_bn, dst):
+        out.conv(f"{dst}/conv", take(f"{src_conv}.weight"))
+        out.bn(f"{dst}/bn", take(f"{src_bn}.weight"),
+               take(f"{src_bn}.bias"), take(f"{src_bn}.running_mean"),
+               take(f"{src_bn}.running_var"))
+
+    b = f"{src_prefix}." if src_prefix else ""
+    d = dst_prefix
+    conv_bn(f"{b}features.0.0", f"{b}features.0.1", f"{d}/stem")
+    for stem in ("pre_img_layer", "pre_hm_layer"):
+        if f"{b}{stem}.0.weight" in sd:
+            conv_bn(f"{b}{stem}.0", f"{b}{stem}.1", f"{d}/{stem}")
+    fi = 1
+    while f"{b}features.{fi}.conv.0.0.weight" in sd:
+        src = f"{b}features.{fi}.conv"
+        dst = f"{d}/block_{fi - 1}"
+        # expand_ratio==1 blocks have no pw stage: [dw, pwlin, bn];
+        # others: [pw, dw, pwlin, bn] (mobilenet.py:61-72)
+        has_pw = f"{src}.3.weight" in sd
+        o = 0
+        if has_pw:
+            conv_bn(f"{src}.0.0", f"{src}.0.1", f"{dst}/pw")
+            o = 1
+        conv_bn(f"{src}.{o}.0", f"{src}.{o}.1", f"{dst}/dw")
+        conv_bn(f"{src}.{o + 1}", f"{src}.{o + 2}", f"{dst}/pw_linear")
+        fi += 1
+
+
+def convert_backbone(state_dict: Dict[str, np.ndarray], kind: str,
+                     num_layers: int = 34, arch: str = "dla_34"
+                     ) -> Tuple[Dict, Dict, list]:
+    """Backbone-ONLY (ImageNet pretrain) checkpoint -> partial param
+    tree for `arch`. This reproduces the reference's pretrain->finetune
+    entry points, which download ImageNet trunks at model build time
+    (DLA: dla.py:318-329; resnet: resnet.py:145-150 via model_zoo;
+    mobilenet: backbones/mobilenet.py:175-176):
+
+      kind "dla":       upstream ImageNet DLA-34 (unprefixed
+                        base_layer/levelN keys + an unused fc head)
+      kind "res":       torchvision resnet18/34/50/101
+      kind "mobilenet": torchvision mobilenet_v2
+
+    The result is saved like a normal checkpoint; `load_model` merges
+    it onto a freshly-initialized model, leaving every non-backbone
+    leaf (neck, heads, temporal stems) at its fresh init — the same
+    partial-load semantics the reference gets from strict=False
+    loading. Returns (params, batch_stats, unused_keys)."""
+    sd = _strip_module(state_dict)
+    out = TreeWriter()
+    used = set()
+    base_arch = arch.partition("_")[0]
+    if kind == "dla":
+        dst = ("backbone/backbone/base" if base_arch == "generic"
+               else "backbone/base")
+        _convert_dla_base(sd, out, used, src_prefix="", dst_prefix=dst)
+    elif kind == "res":
+        dst = ("backbone/backbone" if base_arch == "generic"
+               else "backbone/trunk")
+        _convert_res_trunk(sd, out, used, num_layers, src_prefix="",
+                           dst_prefix=dst)
+    elif kind == "mobilenet":
+        _convert_mobilenet_trunk(sd, out, used, src_prefix="",
+                                 dst_prefix="backbone/backbone")
+    else:
+        raise ValueError(f"unknown backbone kind {kind}")
+    unused = [k for k in sd if k not in used and "num_batches" not in k]
+    return out.params, out.stats, unused
+
+
 def _convert_res_common(sd, out, used, num_layers):
     """Trunk + heads shared by res/resdcn."""
     _convert_res_trunk(sd, out, used, num_layers)
@@ -389,27 +473,8 @@ def convert_generic(state_dict: Dict[str, np.ndarray],
     bb = "backbone"
     dst_bb = "backbone/backbone"
     if backbone == "mobilenet":
-        conv_bn(f"{bb}.features.0.0", f"{bb}.features.0.1",
-                f"{dst_bb}/stem")
-        for stem in ("pre_img_layer", "pre_hm_layer"):
-            if f"{bb}.{stem}.0.weight" in sd:
-                conv_bn(f"{bb}.{stem}.0", f"{bb}.{stem}.1",
-                        f"{dst_bb}/{stem}")
-        fi = 1
-        while f"{bb}.features.{fi}.conv.0.0.weight" in sd:
-            src = f"{bb}.features.{fi}.conv"
-            dst = f"{dst_bb}/block_{fi - 1}"
-            # expand_ratio==1 blocks have no pw stage: [dw, pwlin, bn];
-            # others: [pw, dw, pwlin, bn] (mobilenet.py:61-72)
-            has_pw = f"{src}.3.weight" in sd
-            o = 0
-            if has_pw:
-                conv_bn(f"{src}.0.0", f"{src}.0.1", f"{dst}/pw")
-                o = 1
-            conv_bn(f"{src}.{o}.0", f"{src}.{o}.1", f"{dst}/dw")
-            conv_bn(f"{src}.{o + 1}", f"{src}.{o + 2}",
-                    f"{dst}/pw_linear")
-            fi += 1
+        _convert_mobilenet_trunk(sd, out, used, src_prefix=bb,
+                                 dst_prefix=dst_bb)
     elif backbone == "resnet":
         _convert_res_trunk(sd, out, used, num_layers,
                            src_prefix="backbone.", dst_prefix=dst_bb)
@@ -493,6 +558,11 @@ def main():
     p.add_argument("--backbone", default="mobilenet",
                    help="for --arch generic")
     p.add_argument("--neck", default="dlaup", help="for --arch generic")
+    p.add_argument("--backbone_only", default="",
+                   choices=["", "dla", "res", "mobilenet"],
+                   help="treat --pth as a backbone-only ImageNet "
+                        "pretrain of this kind (for cli/main.py "
+                        "--load_backbone)")
     args = p.parse_args()
     import torch
     payload = torch.load(args.pth, map_location="cpu",
@@ -500,7 +570,10 @@ def main():
     sd = payload.get("state_dict", payload)
     sd = {k: v.numpy() for k, v in sd.items()}
     base, _, depth = args.arch.partition("_")
-    if base == "generic":
+    if args.backbone_only:
+        params, stats, unused = convert_backbone(
+            sd, args.backbone_only, int(depth or 18), args.arch)
+    elif base == "generic":
         params, stats, unused = convert_generic(
             sd, args.backbone, args.neck, int(depth or 18))
     else:
