@@ -48,7 +48,8 @@ def main(argv=None):
                           verbose=False)
         params, batch_stats = ckpt["params"], ckpt["batch_stats"]
         print(f"initialized backbone from {cfg.load_backbone}")
-    trainer = Trainer(cfg, model, params, batch_stats)
+    trainer = Trainer(cfg, model, params, batch_stats,
+                      debug_dir=os.path.join(save_dir, "debug"))
     if load_path and os.path.exists(load_path):
         ckpt = load_model(load_path, params, batch_stats,
                           trainer.state.opt_state,

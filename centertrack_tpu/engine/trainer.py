@@ -61,9 +61,13 @@ def make_optimizer(cfg):
 class Trainer:
     """(reference: trainer.py:102-317)"""
 
-    def __init__(self, cfg, model, params, batch_stats, mesh=None):
+    def __init__(self, cfg, model, params, batch_stats, mesh=None,
+                 dataset_meta=None, debug_dir: str = ""):
         self.cfg = cfg
         self.model = model
+        self.dataset_meta = dataset_meta
+        self.debug_dir = debug_dir or "exp_debug"
+        self._debug_step = None  # built lazily when cfg.debug > 0
         self.mesh = mesh if mesh is not None else make_mesh(
             max(1, min(cfg.num_devices, len(jax.devices()))))
         self.tx = make_optimizer(cfg)
@@ -136,6 +140,40 @@ class Trainer:
             return losses
         return jax.jit(step)
 
+    def _build_debug_step(self):
+        """Recompute the rendered batch + last-stack outputs for host
+        visualization (reference: trainer.py:152-153 keeps `output`
+        around when opt.debug > 0)."""
+        cfg = self.cfg
+
+        def step(state: TrainState, batch):
+            rendered = render_batch(batch, cfg)
+            pre_img = rendered.get("pre_img") if cfg.pre_img else None
+            pre_hm = rendered.get("pre_hm") if cfg.pre_hm else None
+            outputs = self.model.apply(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats},
+                rendered["image"], pre_img, pre_hm, train=False)
+            return rendered, outputs[-1]
+
+        return jax.jit(step)
+
+    def _debug_iter(self, batch, iter_id) -> None:
+        """Render pred-vs-GT debug images for one batch (reference:
+        trainer.py:191-311 via run_epoch:172-173)."""
+        from centertrack_tpu.engine.train_debug import debug_batch
+        if self._debug_step is None:
+            self._debug_step = self._build_debug_step()
+        rendered, output = self._debug_step(self.state, batch)
+        rendered = {k: np.asarray(v) for k, v in rendered.items()
+                    if v is not None and hasattr(v, "shape")}
+        meta = self.dataset_meta
+        if meta is None:
+            from centertrack_tpu.data.registry import get_dataset_meta
+            meta = get_dataset_meta(self.cfg.dataset, self.cfg)
+        debug_batch(self.cfg, meta, rendered, output, iter_id,
+                    self.debug_dir)
+
     # ------------------------------------------------------------------
     def run_epoch(self, phase: str, epoch: int, loader,
                   num_iters: int = -1, log_every: int = 20):
@@ -162,6 +200,8 @@ class Trainer:
             for k, v in losses.items():
                 agg[k] = agg.get(k, 0.0) + v
             n += 1
+            if cfg.debug > 0 and (not log_every or it % log_every == 0):
+                self._debug_iter(batch, f"{phase}_e{epoch}_it{it}")
             if log_every and it % log_every == 0:
                 msg = f"{phase} e{epoch} it{it}"
                 for k in ["tot"] + self.loss_order:
