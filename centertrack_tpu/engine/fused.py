@@ -284,6 +284,10 @@ class MultiStreamDetector:
         single = dt.init_state(self.capacity)
         self.track_state = jax.tree_util.tree_map(
             lambda a, z: a.at[i].set(z), self.track_state, single)
+        # rebind (never mutate in place): on the CPU backend
+        # jnp.asarray() zero-copies host buffers, so an in-place write
+        # would race with any still-executing step that read _fresh
+        self._fresh = self._fresh.copy()
         self._fresh[i] = True
 
     # ------------------------------------------------------------------
@@ -402,14 +406,17 @@ class MultiStreamDetector:
         if self.pre_images is None:
             self.pre_images = jnp.zeros(
                 (self.streams, cfg.input_h, cfg.input_w, 3), jnp.float32)
-        fresh = jnp.asarray(self._fresh)
+        # jnp.array (copy=True) — jnp.asarray would zero-copy alias the
+        # numpy buffer on the CPU backend, and the rebind below would
+        # then race with the asynchronously-executing step reading it
+        fresh = jnp.array(self._fresh)
         images_w, self.track_state, results = step(
             self.params, self.batch_stats, frames,
             tile(inv_trans_input), tile(trans_input),
             tile(inv_trans_output), fresh, self.pre_images,
             self.track_state)
         self.pre_images = images_w
-        self._fresh[:] = False
+        self._fresh = np.zeros_like(self._fresh)
         return results
 
     @staticmethod
