@@ -46,6 +46,93 @@ def load_frames(video, n, h, w):
     return [(f - mean) / std for f in frames]
 
 
+def trained_mode(args):
+    """Validate the clamp against TRAINED offsets (not noise): train the
+    selftest model with the exact `dcn` node, then evaluate the SAME
+    parameters under dcn / dcn_local (+/-2 px) / dcn_local1 (+/-1 px)
+    and report MOTA deltas plus the per-module trained offset-magnitude
+    distribution (reference behavior being approximated: trained DCNv2
+    offsets, src/lib/model/networks/dla.py:513)."""
+    import dataclasses
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from centertrack_tpu.tools import selftest
+
+    root = args.root or tempfile.mkdtemp(prefix="ct_dcndrift_")
+    ann_path, img_dir = selftest.make_dataset(root)
+    cfg = selftest.build_cfg(ann_path, img_dir, dla_node="dcn",
+                             epochs=args.epochs)
+    print(f"training exact-dcn selftest model ({args.epochs} epochs)...",
+          flush=True)
+    params, bs = selftest.train(cfg, args.epochs)
+    if args.save_ckpt:
+        from centertrack_tpu.models.model import save_model
+        save_model(args.save_ckpt, args.epochs, params, bs)
+        print(f"saved {args.save_ckpt}")
+
+    # ---- trained offset magnitudes per DCN module --------------------
+    from centertrack_tpu.models.model import create_model
+
+    model = create_model(cfg.arch, cfg.heads_dict, cfg.head_convs_dict,
+                         cfg)
+    frames = load_frames(args.video, 2, cfg.input_h, cfg.input_w)
+    x = jnp.asarray(np.stack(frames))
+    hm0 = jnp.zeros((x.shape[0], cfg.input_h, cfg.input_w, 1))
+    _, inter = model.apply(
+        {"params": params, "batch_stats": bs}, x, x, hm0, train=False,
+        capture_intermediates=lambda mdl, _:
+            mdl.name == "conv_offset_mask")
+    stats = {}
+    flat = jax.tree_util.tree_flatten_with_path(inter)[0]
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        if not hasattr(leaf, "ndim") or leaf.ndim != 4:
+            continue
+        k2 = leaf.shape[-1] // 3
+        off = np.abs(np.asarray(leaf[..., :2 * k2], np.float32))
+        mod = key.replace("['intermediates']", "").replace(
+            "['__call__']", "").replace("[0]", "").strip("[]'").replace(
+            "']['", "/")
+        stats[mod] = {
+            "p50": round(float(np.percentile(off, 50)), 3),
+            "p95": round(float(np.percentile(off, 95)), 3),
+            "p99": round(float(np.percentile(off, 99)), 3),
+            "max": round(float(off.max()), 3),
+            "frac_gt_1px": round(float((off > 1.0).mean()), 4),
+            "frac_gt_2px": round(float((off > 2.0).mean()), 4),
+        }
+    print("\ntrained |offset| per DCN module (output-grid px):")
+    for mod, s in stats.items():
+        print(f"  {mod}: p50 {s['p50']} p95 {s['p95']} p99 {s['p99']} "
+              f"max {s['max']} >1px {s['frac_gt_1px']:.1%} "
+              f">2px {s['frac_gt_2px']:.1%}")
+
+    # ---- cross-node MOTA ---------------------------------------------
+    results = {}
+    for node in ("dcn", "dcn_local", "dcn_local1"):
+        cfg_n = dataclasses.replace(cfg, dla_node=node)
+        print(f"\nevaluating node={node}...", flush=True)
+        overall = selftest.evaluate(cfg_n, params, bs, ann_path, img_dir)
+        results[node] = {"mota": round(overall["mota"], 4),
+                         "idf1": round(overall["idf1"], 4)}
+    report = {"offset_stats": stats, "eval": results,
+              "mota_delta_local": round(
+                  results["dcn_local"]["mota"] - results["dcn"]["mota"],
+                  4),
+              "mota_delta_local1": round(
+                  results["dcn_local1"]["mota"] - results["dcn"]["mota"],
+                  4)}
+    print("\n" + json.dumps(report["eval"], indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.out}")
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--video", default="/root/reference/videos/"
@@ -57,7 +144,17 @@ def main():
                     default=[0.01, 0.03, 0.1])
     ap.add_argument("--local", default="dcn_local1",
                     choices=["dcn_local", "dcn_local1"])
+    ap.add_argument("--trained", action="store_true",
+                    help="train exact-dcn on the selftest set, then "
+                         "cross-evaluate under the clamped nodes")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--root", default="")
+    ap.add_argument("--save_ckpt", default="")
+    ap.add_argument("--out", default="",
+                    help="write the trained-mode JSON report here")
     args = ap.parse_args()
+    if args.trained:
+        return trained_mode(args)
 
     import jax
     import jax.numpy as jnp

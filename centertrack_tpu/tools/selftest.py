@@ -73,45 +73,33 @@ def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
     return ann_path, img_dir
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=30)
-    p.add_argument("--dla_node", default="dcn_local")
-    p.add_argument("--compute_dtype", default="float32")
-    p.add_argument("--batch_size", type=int, default=8)
-    p.add_argument("--lr", type=float, default=5e-4)
-    p.add_argument("--root", default="")
-    p.add_argument("--mota_floor", type=float, default=-10.0,
-                   help="exit nonzero if OVERALL MOTA below this")
-    args = p.parse_args(argv)
-
-    root = args.root or tempfile.mkdtemp(prefix="ct_selftest_")
-    ann_path, img_dir = make_dataset(root)
-    print(f"dataset at {root}")
-
+def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
+              compute_dtype: str = "float32", batch_size: int = 8,
+              lr: float = 5e-4, epochs: int = 30):
     from centertrack_tpu.config import Config, parse_task, set_heads
-    from centertrack_tpu.data.datasets import CustomDataset
-    from centertrack_tpu.data.loader import DataLoader
-    from centertrack_tpu.engine.detector import Detector
-    from centertrack_tpu.engine.trainer import Trainer
-    from centertrack_tpu.eval.mot_metrics import (MOTAccumulator,
-                                                  combine_metrics)
-    from centertrack_tpu.models.model import create_model, init_model
 
     cfg = Config(
         task="tracking", dataset="custom", pre_hm=True,
         custom_dataset_ann_path=ann_path, custom_dataset_img_path=img_dir,
         num_classes=1, input_h=96, input_w=160,
-        dla_node=args.dla_node, compute_dtype=args.compute_dtype,
-        batch_size=args.batch_size, lr=args.lr,
+        dla_node=dla_node, compute_dtype=compute_dtype,
+        batch_size=batch_size, lr=lr,
         hm_disturb=0.05, lost_disturb=0.4, fp_disturb=0.1,
         same_aug_pre=True, not_rand_crop=True, flip=0.0,
         track_thresh=0.3, new_thresh=0.3, max_age=3,
-        num_epochs=args.epochs)
+        num_epochs=epochs)
     cfg = parse_task(cfg)
-    cfg = set_heads(cfg, type("M", (), {
+    return set_heads(cfg, type("M", (), {
         "num_categories": 1, "default_resolution": (96, 160),
         "num_joints": 17}))
+
+
+def train(cfg, epochs: int, log=print):
+    """Train the selftest model; returns (params, batch_stats)."""
+    from centertrack_tpu.data.datasets import CustomDataset
+    from centertrack_tpu.data.loader import DataLoader
+    from centertrack_tpu.engine.trainer import Trainer
+    from centertrack_tpu.models.model import create_model, init_model
 
     model = create_model(cfg.arch, cfg.heads_dict, cfg.head_convs_dict,
                          cfg)
@@ -119,14 +107,18 @@ def main(argv=None):
     trainer = Trainer(cfg, model, params, batch_stats)
     ds = CustomDataset(cfg, "train")
     loader = DataLoader(ds, cfg.batch_size, shuffle=True, num_workers=4)
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(1, epochs + 1):
         stats = trainer.train(epoch, loader, log_every=1000)
         if epoch % 5 == 0 or epoch == 1:
-            print(f"epoch {epoch}: tot {stats['tot']:.4f} "
-                  f"hm {stats.get('hm', 0):.4f}")
+            log(f"epoch {epoch}: tot {stats['tot']:.4f} "
+                f"hm {stats.get('hm', 0):.4f}")
+    return trainer.state.params, trainer.state.batch_stats
 
-    # --- inference over each video + CLEAR-MOT ------------------------
-    import jax
+
+def selftest_meta(cfg):
+    from centertrack_tpu.data.datasets import CustomDataset
+
+    ds = CustomDataset(cfg, "train")
 
     class Meta:
         num_categories = 1
@@ -137,9 +129,19 @@ def main(argv=None):
         mean = ds.mean.reshape(3)
         std = ds.std.reshape(3)
 
-    det = Detector(cfg, params=trainer.state.params,
-                   batch_stats=trainer.state.batch_stats,
-                   dataset_meta=Meta)
+    return Meta
+
+
+def evaluate(cfg, params, batch_stats, ann_path: str, img_dir: str,
+             log=print):
+    """Track every video with a fresh Detector and CLEAR-MOT score it.
+    Returns the overall metrics dict."""
+    from centertrack_tpu.engine.detector import Detector
+    from centertrack_tpu.eval.mot_metrics import (MOTAccumulator,
+                                                  combine_metrics)
+
+    det = Detector(cfg, params=params, batch_stats=batch_stats,
+                   dataset_meta=selftest_meta(cfg))
     with open(ann_path) as f:
         db = json.load(f)
     by_video = {}
@@ -170,12 +172,42 @@ def main(argv=None):
         accs[f"video{vid}"] = acc
         summaries[f"video{vid}"] = acc.metrics()
         m = summaries[f"video{vid}"]
-        print(f"video{vid}: MOTA {m['mota']:.3f} IDF1 {m['idf1']:.3f} "
-              f"FP {m['num_false_positives']} FN {m['num_misses']} "
-              f"IDSW {m['num_switches']}")
+        log(f"video{vid}: MOTA {m['mota']:.3f} IDF1 {m['idf1']:.3f} "
+            f"FP {m['num_false_positives']} FN {m['num_misses']} "
+            f"IDSW {m['num_switches']}")
     overall = combine_metrics(summaries, accs)
-    print(f"OVERALL: MOTA {overall['mota']:.3f} "
-          f"IDF1 {overall['idf1']:.3f}")
+    log(f"OVERALL: MOTA {overall['mota']:.3f} "
+        f"IDF1 {overall['idf1']:.3f}")
+    return overall
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--dla_node", default="dcn_local")
+    p.add_argument("--compute_dtype", default="float32")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--root", default="")
+    p.add_argument("--save_ckpt", default="",
+                   help="save the trained checkpoint here")
+    p.add_argument("--mota_floor", type=float, default=-10.0,
+                   help="exit nonzero if OVERALL MOTA below this")
+    args = p.parse_args(argv)
+
+    root = args.root or tempfile.mkdtemp(prefix="ct_selftest_")
+    ann_path, img_dir = make_dataset(root)
+    print(f"dataset at {root}")
+
+    cfg = build_cfg(ann_path, img_dir, args.dla_node,
+                    args.compute_dtype, args.batch_size, args.lr,
+                    args.epochs)
+    params, batch_stats = train(cfg, args.epochs)
+    if args.save_ckpt:
+        from centertrack_tpu.models.model import save_model
+        save_model(args.save_ckpt, args.epochs, params, batch_stats)
+        print(f"saved {args.save_ckpt}")
+    overall = evaluate(cfg, params, batch_stats, ann_path, img_dir)
     if overall["mota"] < args.mota_floor:
         raise SystemExit(1)
     return overall
