@@ -62,7 +62,7 @@ class Config:
 
     # --- model -----------------------------------------------------------
     arch: str = "dla_34"
-    dla_node: str = "dcn"          # 'dcn' | 'gcn' | 'conv'
+    dla_node: str = "dcn"          # dcn|dcn_mix|dcn_local|dcn_local1|gcn|conv
     head_conv: int = -1            # -1 => 256 for dla, 64 otherwise
     num_head_conv: int = 1
     head_kernel: int = 3

@@ -223,6 +223,7 @@ class ConvNode(nn.Module):
     """'conv' node: 1x1 conv + BN + ReLU (reference: dla.py:466-475)."""
     features: int
     dtype: object = None
+    map_stride: int = 4  # unused; uniform node-class signature
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -233,15 +234,31 @@ class ConvNode(nn.Module):
 class DeformNode(nn.Module):
     """'dcn' node: DCN 3x3 + BN + ReLU (reference: dla.py:506-518).
     mode='local' selects the gather-free clamped-offset op
-    (ops/dcn.deform_conv2d_local)."""
+    (ops/dcn.deform_conv2d_local); mode='mix' picks per module by
+    `map_stride`: clamped-local (+/-2 px) on the stride-4/8 maps —
+    where the gather is most expensive and trained offsets exceed 2 px
+    at <=25% of positions — exact gather on the stride-16/32 levels,
+    where trained offsets are largest (p50 up to 2 px, >2 px at up to
+    51% of positions) and the gather is cheap. Design data:
+    tools/dcn_levelbench.py timings + the trained offset histograms in
+    docs/dcn_drift_trained.json; measured 544x960 fused-pipeline fps
+    dcn 35.5 / dcn_mix 46.7 / dcn_local1 68.6, and the full +/-2 px
+    clamp costs only -0.002 MOTA on exact-trained weights. Override
+    the stride threshold via env CT_MIX_STRIDE for experiments."""
     features: int
     dtype: object = None
     mode: str = "gather"
     max_offset: int = 2
+    map_stride: int = 4  # absolute feature stride of this node's map
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCNLayer(self.features, 3, dtype=self.dtype, mode=self.mode,
+        mode = self.mode
+        if mode == "mix":
+            import os
+            thr = int(os.environ.get("CT_MIX_STRIDE", "8"))
+            mode = "local" if self.map_stride <= thr else "gather"
+        x = DCNLayer(self.features, 3, dtype=self.dtype, mode=mode,
                      max_offset=self.max_offset, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
@@ -254,6 +271,7 @@ class GlobalConvNode(nn.Module):
     features: int
     k: int = 7
     dtype: object = None
+    map_stride: int = 4  # unused; uniform node-class signature
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -281,8 +299,10 @@ def node_types(dla_node: str):
     repo's gather-free TPU fast path)"""
     local = functools.partial(DeformNode, mode="local")
     local1 = functools.partial(DeformNode, mode="local", max_offset=1)
+    mix = functools.partial(DeformNode, mode="mix")
     return {
         "dcn": (DeformNode, DeformNode),
+        "dcn_mix": (mix, mix),
         "dcn_local": (local, local),
         "dcn_local1": (local1, local1),
         "gcn": (ConvNode, GlobalConvNode),
@@ -298,6 +318,7 @@ class IDAUp(nn.Module):
     up_factors: Tuple[int, ...]  # per input level, relative to level 0
     node: str = "dcn"
     dtype: object = None
+    base_stride: int = 4  # absolute stride of level 0 of the slice
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray], train: bool = False):
@@ -305,13 +326,17 @@ class IDAUp(nn.Module):
         layers = list(layers)
         for i in range(1, len(layers)):
             f = int(self.up_factors[i])
+            # proj runs at layers[i]'s own resolution (stride
+            # base*up_factor); node runs at the slice-base resolution
             x = proj_cls(self.out_channels, dtype=self.dtype,
+                         map_stride=self.base_stride * f,
                          name=f"proj_{i}")(
                 layers[i], train=train)
             if f > 1:
                 x = UpBilinear(self.out_channels, f, dtype=self.dtype,
                                name=f"up_{i}")(x)
             layers[i] = node_cls(self.out_channels, dtype=self.dtype,
+                                 map_stride=self.base_stride,
                                  name=f"node_{i}")(
                 x + layers[i - 1], train=train)
         return layers
@@ -337,6 +362,8 @@ class DLAUp(nn.Module):
             ida = IDAUp(channels[j],
                         tuple(int(s) for s in scales[j:] // scales[j]),
                         node=self.node, dtype=self.dtype,
+                        base_stride=2 ** (self.startp
+                                          + len(channels) + j),
                         name=f"ida_{i}")
             layers[j:] = ida(layers[j:], train=train)
             out.insert(0, layers[-1])
@@ -372,6 +399,7 @@ class DLASeg(nn.Module):
         ida_up = IDAUp(
             channels[first_level],
             tuple(2 ** i for i in range(self.last_level - first_level)),
-            node=self.dla_node, dtype=self.dtype, name="ida_up")
+            node=self.dla_node, dtype=self.dtype,
+            base_stride=2 ** first_level, name="ida_up")
         y = ida_up(y, train=train)
         return [y[-1]]

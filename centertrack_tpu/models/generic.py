@@ -200,6 +200,7 @@ class DLAUpNeck(nn.Module):
         y = IDAUp(channels[first_level],
                   tuple(2 ** i for i in range(last_level - first_level)),
                   node=self.dla_node, dtype=self.dtype,
+                  base_stride=2 ** first_level,
                   name="ida_up")(y, train=train)
         return [y[-1]]
 

@@ -65,9 +65,19 @@ def trained_mode(args):
     ann_path, img_dir = selftest.make_dataset(root)
     cfg = selftest.build_cfg(ann_path, img_dir, dla_node="dcn",
                              epochs=args.epochs)
-    print(f"training exact-dcn selftest model ({args.epochs} epochs)...",
-          flush=True)
-    params, bs = selftest.train(cfg, args.epochs)
+    if args.load_ckpt:
+        import pickle
+        with open(args.load_ckpt, "rb") as f:
+            ckpt = pickle.load(f)
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), ckpt["params"])
+        bs = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), ckpt["batch_stats"])
+        print(f"loaded {args.load_ckpt} (skipping training)")
+    else:
+        print(f"training exact-dcn selftest model "
+              f"({args.epochs} epochs)...", flush=True)
+        params, bs = selftest.train(cfg, args.epochs)
     if args.save_ckpt:
         from centertrack_tpu.models.model import save_model
         save_model(args.save_ckpt, args.epochs, params, bs)
@@ -112,19 +122,19 @@ def trained_mode(args):
 
     # ---- cross-node MOTA ---------------------------------------------
     results = {}
-    for node in ("dcn", "dcn_local", "dcn_local1"):
+    nodes = args.nodes or ["dcn", "dcn_mix", "dcn_local", "dcn_local1"]
+    for node in nodes:
         cfg_n = dataclasses.replace(cfg, dla_node=node)
         print(f"\nevaluating node={node}...", flush=True)
         overall = selftest.evaluate(cfg_n, params, bs, ann_path, img_dir)
         results[node] = {"mota": round(overall["mota"], 4),
                          "idf1": round(overall["idf1"], 4)}
-    report = {"offset_stats": stats, "eval": results,
-              "mota_delta_local": round(
-                  results["dcn_local"]["mota"] - results["dcn"]["mota"],
-                  4),
-              "mota_delta_local1": round(
-                  results["dcn_local1"]["mota"] - results["dcn"]["mota"],
-                  4)}
+    report = {"offset_stats": stats, "eval": results}
+    if "dcn" in results:
+        for n, r in results.items():
+            if n != "dcn":
+                report[f"mota_delta_{n.replace('dcn_', '')}"] = round(
+                    r["mota"] - results["dcn"]["mota"], 4)
     print("\n" + json.dumps(report["eval"], indent=1))
     if args.out:
         with open(args.out, "w") as f:
@@ -150,6 +160,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--root", default="")
     ap.add_argument("--save_ckpt", default="")
+    ap.add_argument("--load_ckpt", default="",
+                    help="skip training; load params from this ckpt "
+                         "(e.g. assets/selftest_dcn_fp16.ckpt)")
+    ap.add_argument("--nodes", nargs="*", default=None,
+                    help="node types to cross-evaluate "
+                         "(default: dcn dcn_mix dcn_local dcn_local1)")
     ap.add_argument("--out", default="",
                     help="write the trained-mode JSON report here")
     args = ap.parse_args()

@@ -21,7 +21,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from centertrack_tpu.ops.dcn import (_deform_conv2d_slot, deform_conv2d,
+from centertrack_tpu.ops.dcn import (_deform_conv2d_slot,
+                                     _deform_conv2d_slot_fused,
+                                     deform_conv2d,
                                      deform_conv2d_local)
 
 # (H, W, Cin, Cout, count) — DCN ops per neck level for dla_34 at
@@ -70,6 +72,7 @@ def main():
         cands = {
             "exact_auto": jax.jit(deform_conv2d),
             "exact_slot": jax.jit(_deform_conv2d_slot),
+            "exact_fused": jax.jit(_deform_conv2d_slot_fused),
             "local_r1": jax.jit(
                 lambda *a: deform_conv2d_local(*a, max_offset=1)),
             "local_r2": jax.jit(

@@ -141,3 +141,50 @@ def test_slot_fast_path_gradients():
     g_gen = jax.grad(loss_gen)(off0)
     np.testing.assert_allclose(np.asarray(g_slot), np.asarray(g_gen),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_slot_fused_matches_slot():
+    """Tap-fused slot variant (one gather + one K=9*Cin matmul) is
+    numerically identical to the per-tap slot path."""
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 14, 12, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32))
+    offset = jnp.asarray((rng.randn(2, 14, 12, 18) * 4).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 14, 12, 9).astype(np.float32))
+    bias = jnp.asarray(rng.randn(4).astype(np.float32))
+    a = dcn._deform_conv2d_slot(x, offset, mask, w, bias)
+    b = dcn._deform_conv2d_slot_fused(x, offset, mask, w, bias)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_mix_node_param_tree_and_dispatch():
+    """dcn_mix shares the exact/local param tree bit-for-bit and
+    dispatches exact gather on coarse maps, clamped-local on stride-4
+    maps (design data: docs/dcn_drift_trained.json offset histograms +
+    tools/dcn_levelbench.py timings)."""
+    from centertrack_tpu.models.dla import DeformNode, IDAUp
+    rng = jax.random.PRNGKey(0)
+    nprng = np.random.RandomState(9)
+    layers = [jnp.asarray(nprng.randn(1, 8, 8, 8), jnp.float32),
+              jnp.asarray(nprng.randn(1, 4, 4, 16), jnp.float32)]
+    v_dcn = IDAUp(8, (1, 2), node="dcn", base_stride=4).init(rng, layers)
+    v_mix = IDAUp(8, (1, 2), node="dcn_mix", base_stride=4).init(
+        rng, layers)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(a, b)), v_dcn, v_mix))
+
+    x = jnp.asarray(nprng.randn(1, 10, 10, 8), jnp.float32)
+    v = DeformNode(8, mode="gather").init(rng, x)
+    # push params off the zero-offset init so exact != local
+    v = jax.tree_util.tree_map(
+        lambda a: a + 0.5 * nprng.randn(*a.shape).astype(np.float32), v)
+    o_exact = DeformNode(8, mode="gather").apply(v, x)
+    o_local = DeformNode(8, mode="local", max_offset=2).apply(v, x)
+    o_coarse = DeformNode(8, mode="mix", map_stride=32).apply(v, x)
+    o_fine = DeformNode(8, mode="mix", map_stride=4).apply(v, x)
+    np.testing.assert_array_equal(np.asarray(o_coarse),
+                                  np.asarray(o_exact))
+    np.testing.assert_array_equal(np.asarray(o_fine),
+                                  np.asarray(o_local))
+    assert float(jnp.max(jnp.abs(o_exact - o_local))) > 1e-3
