@@ -147,6 +147,44 @@ def test_multichip_matches_single_device_and_replicates():
         assert checked > 0
 
 
+import pytest
+
+
+@pytest.mark.parametrize("node", ["dcn", "dcn_local1"])
+def test_multichip_real_nodes_match_single_device(node):
+    """The production DCN node types (exact gather `dcn` and the clamped
+    `dcn_local1` fast path) under pjit sharding: 8-device data-parallel
+    loss equals the 1-device loss and the replicas stay in lockstep.
+    Complements test_multichip_matches_single_device_and_replicates,
+    which covers the graph structure with the cheap `conv` node
+    (reference parallelism: src/lib/model/data_parallel.py:64-128 over
+    the DCN models built at src/lib/model/networks/dla.py:506-518)."""
+    assert jax.device_count() >= 8, "conftest must provision 8 devices"
+    with jax.default_matmul_precision("float32"):
+        # mobilenet backbone + DLAUp neck: the neck instantiates the
+        # SAME DeformNode modules as dla_34 but compiles far faster on
+        # the 1-core CI box. Only the 8-device step is compiled; the
+        # 1-device reference loss comes from an eager forward.
+        t8, _ = make_trainer(n_devices=8, batch_size=8, seed=5,
+                             arch="generic", backbone="mobilenet",
+                             neck="dlaup", dla_node=node)
+        batch = tiny_batch(b=8)
+        ref_loss, _ = t8._forward_loss(
+            jax.device_get(t8.state.params),
+            jax.device_get(t8.state.batch_stats), batch, True)
+        s8, l8 = t8._train_step(t8.state, shard_batch(batch, t8.mesh),
+                                1e-4)
+        assert np.isfinite(float(l8["tot"]))
+        np.testing.assert_allclose(float(ref_loss), float(l8["tot"]),
+                                   rtol=1e-5)
+        leaf = jax.tree_util.tree_leaves(s8.params)[0]
+        shards = leaf.addressable_shards
+        assert len(shards) == 8
+        ref = np.asarray(shards[0].data)
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(ref, np.asarray(sh.data))
+
+
 def test_sgd_optimizer():
     t, cfg = make_trainer(optim="sgd")
     batch = tiny_batch()
