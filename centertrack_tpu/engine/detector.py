@@ -104,8 +104,12 @@ class Detector:
                 params, batch_stats = ckpt["params"], ckpt["batch_stats"]
             else:
                 params, batch_stats = init_model(self.model, cfg)
-        self.params = params
-        self.batch_stats = batch_stats if batch_stats is not None else {}
+        # device_put once — host-numpy checkpoint trees passed to the
+        # jitted forward would otherwise be re-uploaded every frame
+        # (~79 MB for dla_34)
+        self.params = jax.device_put(params)
+        self.batch_stats = jax.device_put(
+            batch_stats if batch_stats is not None else {})
 
         self.pre_images = None      # device (B,H,W,3), normalized
         self.pre_image_ori = None

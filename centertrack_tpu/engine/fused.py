@@ -70,8 +70,12 @@ class FusedDetector:
                 params, batch_stats = ckpt["params"], ckpt["batch_stats"]
             else:
                 params, batch_stats = init_model(self.model, cfg)
-        self.params = params
-        self.batch_stats = batch_stats or {}
+        # device_put once: host-numpy trees (e.g. loaded checkpoints)
+        # passed straight to the jitted step would be re-uploaded EVERY
+        # frame (~79 MB/frame for dla_34 — 1.5 s through the dev
+        # tunnel's 54 MB/s H2D; a real-chip PCIe cost too)
+        self.params = jax.device_put(params)
+        self.batch_stats = jax.device_put(batch_stats or {})
         self.capacity = cfg.max_tracks
         self._step = {}
         self._warp = {}
@@ -145,12 +149,8 @@ class FusedDetector:
             new_state, assoc = dt.step(
                 state, scores, clses, cts_img, tracking_img, bboxes_img,
                 cfg.out_thresh, cfg.new_thresh, cfg.max_age)
-            results = {
-                "scores": scores, "classes": clses, "cts": cts_img,
-                "tracking": tracking_img, "bboxes": bboxes_img,
-                "tracking_id": assoc["tracking_id"],
-                "age": assoc["age"], "active": assoc["active"],
-            }
+            results = _pack_results(scores, clses, cts_img,
+                                    tracking_img, bboxes_img, assoc)
             return images, new_state, results
 
         self._warp[in_shape] = warp
@@ -158,9 +158,9 @@ class FusedDetector:
         return step
 
     # ------------------------------------------------------------------
-    def run(self, image) -> Dict[str, jnp.ndarray]:
-        """Enqueue one frame; returns LAZY device arrays (call
-        np.asarray on them to materialize — ideally a few frames
+    def run(self, image) -> jnp.ndarray:
+        """Enqueue one frame; returns the LAZY packed (K, 13) result
+        matrix (pass to fetch() to materialize — ideally a frame
         later). `image` may be a host uint8 array or an already
         device-resident one (e.g. staged ahead to overlap the H2D
         transfer with compute)."""
@@ -189,36 +189,55 @@ class FusedDetector:
             jnp.asarray(inv_trans_output), self.pre_images,
             self.track_state)
         self.pre_images = images
+        try:
+            # start the D2H transfer now so a lag-1 fetch() finds the
+            # bytes already on host instead of paying the tunnel
+            # round-trip latency synchronously
+            results.copy_to_host_async()
+        except Exception:
+            pass
         return results
 
     @staticmethod
-    def fetch(results: Dict[str, jnp.ndarray],
-              out_thresh: float) -> List[Dict]:
+    def fetch(results: jnp.ndarray, out_thresh: float) -> List[Dict]:
         """Materialize lazy per-frame results into the host dict-list
-        format the datasets' save_results expect."""
-        return _fetch_one(
-            {k: np.asarray(v) for k, v in results.items()}, out_thresh)
+        format the datasets' save_results expect. One np.asarray on the
+        packed (K, 13) matrix = ONE device->host transfer; a per-field
+        dict would cost 8 RPC round trips through the axon tunnel."""
+        return _fetch_one(np.asarray(results), out_thresh)
 
 
-def _fetch_one(host: Dict[str, np.ndarray], out_thresh: float
-               ) -> List[Dict]:
+# Packed per-candidate result row (fp32): [score, class, ct_x, ct_y,
+# track_dx, track_dy, x1, y1, x2, y2, tracking_id, age, active].
+# fp32 holds ids/ages/classes exactly up to 2^24.
+_PACK_COLS = 13
+
+
+def _pack_results(scores, clses, cts_img, tracking_img, bboxes_img,
+                  assoc):
+    f32 = lambda a: a.astype(jnp.float32)[..., None]
+    return jnp.concatenate(
+        [scores[..., None], f32(clses), cts_img, tracking_img,
+         bboxes_img, f32(assoc["tracking_id"]), f32(assoc["age"]),
+         f32(assoc["active"])], axis=-1)
+
+
+def _fetch_one(packed: np.ndarray, out_thresh: float) -> List[Dict]:
     out = []
-    for i in range(len(host["scores"])):
+    for row in packed:
         # filter (not break): robust to any future score-mutating
         # step between decode and fetch breaking the sort order
-        if host["scores"][i] <= out_thresh:
-            continue
-        if host["tracking_id"][i] <= 0:
+        if row[0] <= out_thresh or row[10] <= 0:
             continue
         out.append({
-            "score": float(host["scores"][i]),
-            "class": int(host["classes"][i]),
-            "ct": host["cts"][i],
-            "tracking": host["tracking"][i],
-            "bbox": host["bboxes"][i],
-            "tracking_id": int(host["tracking_id"][i]),
-            "age": int(host["age"][i]),
-            "active": int(host["active"][i]),
+            "score": float(row[0]),
+            "class": int(row[1]),
+            "ct": row[2:4],
+            "tracking": row[4:6],
+            "bbox": row[6:10],
+            "tracking_id": int(row[10]),
+            "age": int(row[11]),
+            "active": int(row[12]),
         })
     return out
 
@@ -263,8 +282,12 @@ class MultiStreamDetector:
                 params, batch_stats = ckpt["params"], ckpt["batch_stats"]
             else:
                 params, batch_stats = init_model(self.model, cfg)
-        self.params = params
-        self.batch_stats = batch_stats or {}
+        # device_put once: host-numpy trees (e.g. loaded checkpoints)
+        # passed straight to the jitted step would be re-uploaded EVERY
+        # frame (~79 MB/frame for dla_34 — 1.5 s through the dev
+        # tunnel's 54 MB/s H2D; a real-chip PCIe cost too)
+        self.params = jax.device_put(params)
+        self.batch_stats = jax.device_put(batch_stats or {})
         self.capacity = cfg.max_tracks
         self._step = {}
         self.reset_tracking()
@@ -363,22 +386,19 @@ class MultiStreamDetector:
                 jax.vmap(post_one)(dets, inv_trans_output)
             new_state, assoc = jax.vmap(assoc_one)(
                 state, scores, clses, cts_img, tracking_img, bboxes_img)
-            results = {
-                "scores": scores, "classes": clses, "cts": cts_img,
-                "tracking": tracking_img, "bboxes": bboxes_img,
-                "tracking_id": assoc["tracking_id"],
-                "age": assoc["age"], "active": assoc["active"],
-            }
+            results = _pack_results(scores, clses, cts_img,
+                                    tracking_img, bboxes_img, assoc)
             return images, new_state, results
 
         self._step[in_shape] = step
         return step
 
     # ------------------------------------------------------------------
-    def run(self, images) -> Dict[str, jnp.ndarray]:
+    def run(self, images) -> jnp.ndarray:
         """Advance every stream by one frame. `images` is a sequence of
         S same-shaped uint8 frames (host or device) or a stacked
-        (S, H, W, 3) array. Returns lazy (S, K, ...) result arrays."""
+        (S, H, W, 3) array. Returns the lazy packed (S, K, 13) result
+        matrix (see fetch_stream / fetch_all)."""
         cfg = self.cfg
         if isinstance(images, (list, tuple)):
             first = images[0]
@@ -417,12 +437,25 @@ class MultiStreamDetector:
             self.track_state)
         self.pre_images = images_w
         self._fresh = np.zeros_like(self._fresh)
+        try:
+            results.copy_to_host_async()
+        except Exception:
+            pass
         return results
 
     @staticmethod
-    def fetch_stream(results: Dict[str, jnp.ndarray], stream: int,
+    def fetch_stream(results: jnp.ndarray, stream: int,
                      out_thresh: float) -> List[Dict]:
         """Materialize one stream's results (same format as
         FusedDetector.fetch)."""
-        host = {k: np.asarray(v[stream]) for k, v in results.items()}
-        return _fetch_one(host, out_thresh)
+        return _fetch_one(np.asarray(results)[stream], out_thresh)
+
+    @staticmethod
+    def fetch_all(results: jnp.ndarray,
+                  out_thresh: float) -> List[List[Dict]]:
+        """All streams' results with ONE device->host transfer of the
+        packed (S, K, 13) matrix (fetch_stream per stream would cost S
+        tunnel round trips)."""
+        host = np.asarray(results)
+        return [_fetch_one(host[s], out_thresh)
+                for s in range(len(host))]

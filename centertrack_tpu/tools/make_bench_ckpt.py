@@ -1,0 +1,71 @@
+"""Train and commit the bench checkpoints (assets/*.ckpt).
+
+bench.py's honest workload needs TRAINED weights. This tool reproduces
+the committed assets: it trains the selftest tracker (dla_34,
+tools/selftest.py synthetic MOT domain) once with the exact `dcn` node
+and once with `dcn_local1`, evaluates MOTA, and writes fp16-slimmed
+checkpoints (reference training protocol being miniaturized:
+src/main.py + experiments/mot17_half.sh).
+
+Usage:
+  python -m centertrack_tpu.tools.make_bench_ckpt \
+      [--nodes dcn dcn_local1] [--epochs 30] [--out_dir assets]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import tempfile
+
+import numpy as np
+
+
+def slim_fp16(params, batch_stats, epoch, path):
+    def cast(t):
+        if isinstance(t, dict):
+            return {k: cast(v) for k, v in t.items()}
+        a = np.asarray(t)
+        return a.astype(np.float16) if a.dtype == np.float32 else a
+
+    payload = {"epoch": int(epoch), "params": cast(params),
+               "batch_stats": cast(batch_stats)}
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    print(f"wrote {path} ({os.path.getsize(path) / 1e6:.1f} MB)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", nargs="*",
+                    default=["dcn", "dcn_local1"])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--out_dir", default="assets")
+    ap.add_argument("--root", default="")
+    args = ap.parse_args()
+
+    from centertrack_tpu.tools import selftest
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    root = args.root or tempfile.mkdtemp(prefix="ct_benchckpt_")
+    ann_path, img_dir = selftest.make_dataset(root)
+    name = {"dcn": "selftest_dcn_fp16.ckpt",
+            "dcn_local1": "selftest_local1_fp16.ckpt",
+            "dcn_local": "selftest_local_fp16.ckpt",
+            "dcn_mix": "selftest_mix_fp16.ckpt"}
+    for node in args.nodes:
+        cfg = selftest.build_cfg(ann_path, img_dir, dla_node=node,
+                                 epochs=args.epochs)
+        print(f"training {node} ({args.epochs} epochs)...", flush=True)
+        params, bs = selftest.train(cfg, args.epochs)
+        overall = selftest.evaluate(cfg, params, bs, ann_path, img_dir)
+        print(f"{node}: MOTA {overall['mota']:.3f} "
+              f"IDF1 {overall['idf1']:.3f}")
+        slim_fp16(params, bs, args.epochs,
+                  os.path.join(args.out_dir,
+                               name.get(node, f"selftest_{node}.ckpt")))
+
+
+if __name__ == "__main__":
+    main()
