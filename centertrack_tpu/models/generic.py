@@ -182,6 +182,37 @@ class DLAPyramid(nn.Module):
             x, pre_img, pre_hm, train=train)
 
 
+class TinyPyramid(nn.Module):
+    """Minimal 6-level pyramid (one ConvBNAct per level, strides
+    1/2/4/8/16/32). No reference counterpart: this is a smoke/test
+    backbone that pairs with the PRODUCTION necks and heads, so
+    trainer/engine/sharding tests exercise the real DCN-neck/decode/
+    loss graph at a fraction of full-backbone compile cost."""
+    with_pre_img: bool = False
+    with_pre_hm: bool = False
+    dtype: object = None
+
+    CHANNELS = (8, 8, 16, 16, 32, 32)
+
+    @nn.compact
+    def __call__(self, x, pre_img=None, pre_hm=None, train: bool = False):
+        c = self.CHANNELS
+        h = ConvBNAct(c[0], 3, 1, act=True, dtype=self.dtype,
+                      name="conv1")(x, train)
+        if pre_img is not None and self.with_pre_img:
+            h = h + ConvBNAct(c[0], 3, 1, act=True, dtype=self.dtype,
+                              name="pre_img_layer")(pre_img, train)
+        if pre_hm is not None and self.with_pre_hm:
+            h = h + ConvBNAct(c[0], 3, 1, act=True, dtype=self.dtype,
+                              name="pre_hm_layer")(pre_hm, train)
+        y = [h]
+        for i, ch in enumerate(c[1:], 1):
+            h = ConvBNAct(ch, 3, 2, act=True, dtype=self.dtype,
+                          name=f"level{i}")(h, train)
+            y.append(h)
+        return y
+
+
 class DLAUpNeck(nn.Module):
     """Generic DLAUp neck (reference: necks/dlaup.py:169-199)."""
     channels: Tuple[int, ...]  # 6 backbone channels
@@ -266,6 +297,10 @@ class GenericNetwork(nn.Module):
             bb = MobileNetV2(self.with_pre_img, self.with_pre_hm,
                              dtype=self.dtype, name="backbone")
             channels = MobileNetV2.out_channels()
+        elif self.backbone == "tiny":
+            bb = TinyPyramid(self.with_pre_img, self.with_pre_hm,
+                             dtype=self.dtype, name="backbone")
+            channels = list(TinyPyramid.CHANNELS)
         else:
             raise ValueError(f"unknown backbone {self.backbone}")
         feats = bb(x, pre_img, pre_hm, train=train)

@@ -19,6 +19,8 @@ class TinyMeta:
 def make_detector(**kw):
     kw.setdefault("dla_node", "conv")
     kw.setdefault("K", 10)
+    kw.setdefault("arch", "generic")
+    kw.setdefault("backbone", "tiny")
     cfg = Config(task="tracking", pre_hm=True, track_thresh=0.001,
                  new_thresh=0.001, max_age=3, **kw)
     cfg = parse_task(cfg)

@@ -27,7 +27,7 @@ def make_cfg():
     # sigmoid(-4.6) ~ 0.01) produces real detections and tracks
     cfg = Config(task="tracking", pre_hm=True, track_thresh=0.005,
                  new_thresh=0.005, max_age=3, dla_node="conv", K=10,
-                 seed=11)
+                 seed=11, arch="generic", backbone="tiny", neck="dlaup")
     cfg = parse_task(cfg)
     return set_heads(cfg, TinyMeta)
 

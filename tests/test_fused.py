@@ -20,7 +20,8 @@ class TinyMeta:
 
 def test_fused_pipeline_runs():
     cfg = Config(task="tracking", pre_hm=True, track_thresh=0.001,
-                 new_thresh=0.001, max_age=3, dla_node="conv", K=10)
+                 new_thresh=0.001, max_age=3, dla_node="conv", K=10,
+                 arch="generic", backbone="tiny", neck="dlaup")
     cfg = parse_task(cfg)
     cfg = set_heads(cfg, TinyMeta)
     det = FusedDetector(cfg, dataset_meta=TinyMeta)

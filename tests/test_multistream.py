@@ -19,7 +19,8 @@ class TinyMeta:
 
 def _cfg():
     cfg = Config(task="tracking", pre_hm=True, track_thresh=0.001,
-                 new_thresh=0.001, max_age=3, dla_node="conv", K=10)
+                 new_thresh=0.001, max_age=3, dla_node="conv", K=10,
+                 arch="generic", backbone="tiny", neck="dlaup")
     cfg = parse_task(cfg)
     return set_heads(cfg, TinyMeta)
 

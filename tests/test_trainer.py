@@ -46,9 +46,13 @@ def tiny_batch(b=2, m=4):
 
 def make_trainer(n_devices=1, batch_size=2, **cfg_kw):
     # the mechanics under test (remat, sharding, optimizers, lr) are
-    # arch-agnostic; res_18 compiles ~5x faster than dla_34 on CPU
+    # arch-agnostic; the tiny-backbone generic net keeps the PRODUCTION
+    # DLAUp neck + heads + loss graph at a small fraction of full
+    # backbone compile cost (test_models pins the real archs)
     cfg_kw.setdefault("dla_node", "conv")
-    cfg_kw.setdefault("arch", "res_18")
+    cfg_kw.setdefault("arch", "generic")
+    cfg_kw.setdefault("backbone", "tiny")
+    cfg_kw.setdefault("neck", "dlaup")
     cfg = Config(task="tracking", pre_hm=True, batch_size=batch_size,
                  num_devices=n_devices, **cfg_kw)
     cfg = parse_task(cfg)
@@ -161,13 +165,12 @@ def test_multichip_real_nodes_match_single_device(node):
     the DCN models built at src/lib/model/networks/dla.py:506-518)."""
     assert jax.device_count() >= 8, "conftest must provision 8 devices"
     with jax.default_matmul_precision("float32"):
-        # mobilenet backbone + DLAUp neck: the neck instantiates the
-        # SAME DeformNode modules as dla_34 but compiles far faster on
-        # the 1-core CI box. Only the 8-device step is compiled; the
+        # tiny backbone + DLAUp neck: the neck instantiates the SAME
+        # DeformNode modules as dla_34 but compiles far faster on the
+        # 1-core CI box. Only the 8-device step is compiled; the
         # 1-device reference loss comes from an eager forward.
         t8, _ = make_trainer(n_devices=8, batch_size=8, seed=5,
-                             arch="generic", backbone="mobilenet",
-                             neck="dlaup", dla_node=node)
+                             dla_node=node)
         batch = tiny_batch(b=8)
         ref_loss, _ = t8._forward_loss(
             jax.device_get(t8.state.params),
