@@ -214,9 +214,19 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     # Slot-packed gather wins on large maps (gather-slice-count bound);
     # the per-corner path wins on small ones (measured crossover at
     # ~34x60 on v5e — see tests/test_dcn.py for equivalence coverage).
-    if (kh, kw, stride, padding, dilation) == (3, 3, 1, 1, 1) \
-            and h * w >= 4096:
-        return _deform_conv2d_slot(x, offset, mask, weight, bias)
+    # CT_EXACT_IMPL overrides the small-map choice for experiments:
+    # 'fused' folds all 9 taps into ONE gather + ONE matmul (read at
+    # trace time; engines build one jitted program per process).
+    if (kh, kw, stride, padding, dilation) == (3, 3, 1, 1, 1):
+        if h * w >= 4096:
+            return _deform_conv2d_slot(x, offset, mask, weight, bias)
+        import os
+        impl = os.environ.get("CT_EXACT_IMPL", "")
+        if impl == "fused":
+            return _deform_conv2d_slot_fused(x, offset, mask, weight,
+                                             bias)
+        if impl == "slot":
+            return _deform_conv2d_slot(x, offset, mask, weight, bias)
     ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
 
