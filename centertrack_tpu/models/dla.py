@@ -241,10 +241,12 @@ class DeformNode(nn.Module):
     where trained offsets are largest (p50 up to 2 px, >2 px at up to
     51% of positions) and the gather is cheap. Design data:
     tools/dcn_levelbench.py timings + the trained offset histograms in
-    docs/dcn_drift_trained.json; measured 544x960 fused-pipeline fps
-    dcn 35.5 / dcn_mix 46.7 / dcn_local1 68.6, and the full +/-2 px
-    clamp costs only -0.002 MOTA on exact-trained weights. Override
-    the stride threshold via env CT_MIX_STRIDE for experiments."""
+    docs/dcn_drift_trained.json; measured 544x960 honest-protocol fps
+    dcn 35.2 / dcn_mix 46.4 / dcn_local1 66.5, and the full +/-2 px
+    clamp costs only -0.002 MOTA on exact-trained weights (clamping
+    stride-16 too — CT_MIX_STRIDE=16 — buys ~1.6 fps for -0.012 MOTA,
+    docs/dcn_drift_mix16.json). Override the stride threshold via env
+    CT_MIX_STRIDE for experiments."""
     features: int
     dtype: object = None
     mode: str = "gather"
