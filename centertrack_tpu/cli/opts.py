@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--video_out", default="")
     parser.add_argument("--load_results", default="")
     parser.add_argument("--eval_val", action="store_true")
+    parser.add_argument(
+        "--multi_stream", type=int, default=0,
+        help="evaluate N videos concurrently through one batched "
+             "device program (MultiStreamDetector); tracking tasks "
+             "only, incompatible with --load_results/--public_det")
     for f in dataclasses.fields(Config):
         if f.name in _DERIVED or f.name == "task":
             continue
