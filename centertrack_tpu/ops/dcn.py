@@ -195,6 +195,77 @@ def _deform_conv2d_slot_fused(x, offset, mask, weight, bias):
     return out.astype(x.dtype)
 
 
+def _deform_conv2d_onehot(x, offset, mask, weight, bias):
+    """Gather-free EXACT path for small maps (same semantics).
+
+    Bilinear sampling is linear in the input, so it can be written as a
+    matmul: for tap t, sampled_t = M_t @ x_pad where M_t is (L, Lp) with
+    the 4 bilinear corner weights (pre-multiplied by the modulation
+    mask) as its only nonzeros per row. Because the tap projection is
+    also linear, it commutes to the cheap side:
+
+        out = sum_t (M_t @ x_pad) @ W_t = M_flat @ proj
+        proj = x_pad @ W  reshaped to (9*Lp, Cout), M_flat (L, 9*Lp)
+
+    i.e. ONE fat MXU matmul replaces 9*L*4 gather slices — the gather
+    engine (8 ns/slice on v5e, the exact-path bottleneck) never runs.
+    M is materialized dense, so this only pays off where 9*L*Lp stays
+    small: the stride-16/32 neck maps (34x60: M is 85 MB bf16; 17x30:
+    5.5 MB). Positions use the same clamp-into-the-zero-pad-ring trick
+    as the slot path, so out-of-bounds semantics match the CUDA
+    kernel's skip-invalid-corners rule exactly.
+
+    M is built in x.dtype: at bf16 the corner weights round to 2^-8
+    relative — the same rounding the slot path takes when it casts the
+    fp32-interpolated samples to bf16 before the weight matmul, so the
+    two exact paths are precision-equivalent (and both are fully fp32
+    when x is fp32).
+    """
+    b, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    wp = w + 3
+    lp = (h + 3) * wp
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0))).reshape(b, lp, cin)
+    # proj[b, t, q, o] = x_pad[b, q] @ weight[tap t]
+    proj = jnp.einsum("blc,tcd->btld", xp,
+                      weight.reshape(9, cin, cout).astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+    base_y = jnp.arange(h, dtype=jnp.float32)[None, None, :, None]
+    base_x = jnp.arange(w, dtype=jnp.float32)[None, None, None, :]
+    off = offset.astype(jnp.float32).reshape(b, h, w, 9, 2)
+    dy = jnp.moveaxis(off[..., 0], 3, 1)
+    dx = jnp.moveaxis(off[..., 1], 3, 1)
+    taps = jnp.arange(9)
+    ti = (taps // 3 - 1).astype(jnp.float32)[None, :, None, None]
+    tj = (taps % 3 - 1).astype(jnp.float32)[None, :, None, None]
+    py = jnp.clip(base_y + ti + dy, -1.0, float(h))
+    px = jnp.clip(base_x + tj + dx, -1.0, float(w))
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    fy = py - y0
+    fx = px - x0
+    m = jnp.moveaxis(mask.astype(jnp.float32), 3, 1)
+    # (B, 9, L) flat padded index of corner 00; corners at +0/+1/+wp/+wp+1
+    idx = ((y0.astype(jnp.int32) + 1) * wp +
+           x0.astype(jnp.int32) + 1).reshape(b, 9, h * w)
+    cw = [((1 - fy) * (1 - fx) * m).reshape(b, 9, h * w),
+          ((1 - fy) * fx * m).reshape(b, 9, h * w),
+          (fy * (1 - fx) * m).reshape(b, 9, h * w),
+          (fy * fx * m).reshape(b, 9, h * w)]
+    q = jnp.arange(lp, dtype=jnp.int32)
+    mat = jnp.zeros((b, 9, h * w, lp), x.dtype)
+    for c, dq in enumerate((0, 1, wp, wp + 1)):
+        hit = (idx + dq)[..., None] == q
+        mat = mat + jnp.where(hit, cw[c][..., None], 0.0).astype(x.dtype)
+    out = jnp.einsum("btpl,btlo->bpo", mat, proj,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(b, h, w, cout)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: jnp.ndarray | None = None,
                   stride: int = 1, padding: int = 1,
@@ -227,6 +298,8 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                                              bias)
         if impl == "slot":
             return _deform_conv2d_slot(x, offset, mask, weight, bias)
+        if impl == "onehot":
+            return _deform_conv2d_onehot(x, offset, mask, weight, bias)
     ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
 

@@ -21,7 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from centertrack_tpu.ops.dcn import (_deform_conv2d_slot,
+from centertrack_tpu.ops.dcn import (_deform_conv2d_onehot,
+                                     _deform_conv2d_slot,
                                      _deform_conv2d_slot_fused,
                                      deform_conv2d,
                                      deform_conv2d_local)
@@ -73,6 +74,7 @@ def main():
             "exact_auto": jax.jit(deform_conv2d),
             "exact_slot": jax.jit(_deform_conv2d_slot),
             "exact_fused": jax.jit(_deform_conv2d_slot_fused),
+            "exact_onehot": jax.jit(_deform_conv2d_onehot),
             "local_r1": jax.jit(
                 lambda *a: deform_conv2d_local(*a, max_offset=1)),
             "local_r2": jax.jit(

@@ -188,3 +188,39 @@ def test_mix_node_param_tree_and_dispatch():
     np.testing.assert_array_equal(np.asarray(o_fine),
                                   np.asarray(o_local))
     assert float(jnp.max(jnp.abs(o_exact - o_local))) > 1e-3
+
+
+def test_onehot_matches_general():
+    """One-hot matmul exact path == per-corner reference path, with
+    samples landing outside the image and partially-outside corners
+    (the clamp-into-pad-ring construction must reproduce the CUDA
+    skip-invalid-corner semantics exactly)."""
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(2, 9, 13, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 5).astype(np.float32))
+    offset = jnp.asarray((rng.randn(2, 9, 13, 18) * 6).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 9, 13, 9).astype(np.float32))
+    bias = jnp.asarray(rng.randn(5).astype(np.float32))
+    ref = dcn.deform_conv2d(x, offset, mask, w, bias)
+    fast = dcn._deform_conv2d_onehot(x, offset, mask, w, bias)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_onehot_gradients():
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 2, 2).astype(np.float32))
+    mask = jnp.ones((1, 8, 8, 9))
+    off0 = jnp.full((1, 8, 8, 18), 0.3)
+
+    def loss_oh(off):
+        return (dcn._deform_conv2d_onehot(x, off, mask, w, None) ** 2).sum()
+
+    def loss_gen(off):
+        return (dcn.deform_conv2d(x, off, mask, w) ** 2).sum()
+
+    g_oh = jax.grad(loss_oh)(off0)
+    g_gen = jax.grad(loss_gen)(off0)
+    np.testing.assert_allclose(np.asarray(g_oh), np.asarray(g_gen),
+                               atol=1e-3, rtol=1e-3)
