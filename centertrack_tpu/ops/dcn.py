@@ -269,7 +269,8 @@ def _deform_conv2d_onehot(x, offset, mask, weight, bias):
 def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: jnp.ndarray | None = None,
                   stride: int = 1, padding: int = 1,
-                  dilation: int = 1) -> jnp.ndarray:
+                  dilation: int = 1, impl: str | None = None
+                  ) -> jnp.ndarray:
     """Modulated deformable conv.
 
     Args:
@@ -278,27 +279,33 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
       mask:   (B, Ho, Wo, KH*KW) — already sigmoided modulation.
       weight: (KH, KW, Cin, Cout)
       bias:   (Cout,) or None
+      impl:   override the 3x3/s1 small-map implementation choice:
+              'onehot' | 'slot' | 'fused' | 'corner' (the per-corner
+              gather reference path). Defaults to the CT_EXACT_IMPL
+              env var, then to the measured-best auto choice.
     Returns (B, Ho, Wo, Cout).
     """
     kh, kw, cin, cout = weight.shape
     b, h, w, _ = x.shape
     # Slot-packed gather wins on large maps (gather-slice-count bound);
-    # the per-corner path wins on small ones (measured crossover at
-    # ~34x60 on v5e — see tests/test_dcn.py for equivalence coverage).
-    # CT_EXACT_IMPL overrides the small-map choice for experiments:
-    # 'fused' folds all 9 taps into ONE gather + ONE matmul (read at
-    # trace time; engines build one jitted program per process).
+    # the gather-free onehot matmul wins on small ones, where its dense
+    # (9L, Lp) matrix fits (in-model A/B on v5e at 544x960: dcn_mix
+    # 46.8 fps per-corner -> 49.6 fps onehot; the gather also blocks
+    # XLA fusion around it, which the per-op microbench can't see —
+    # docs/dcn_levelbench.json). impl/CT_EXACT_IMPL override the
+    # small-map choice (env read at trace time; engines build one
+    # jitted program per process).
     if (kh, kw, stride, padding, dilation) == (3, 3, 1, 1, 1):
         if h * w >= 4096:
             return _deform_conv2d_slot(x, offset, mask, weight, bias)
         import os
-        impl = os.environ.get("CT_EXACT_IMPL", "")
+        impl = impl or os.environ.get("CT_EXACT_IMPL", "")
         if impl == "fused":
             return _deform_conv2d_slot_fused(x, offset, mask, weight,
                                              bias)
         if impl == "slot":
             return _deform_conv2d_slot(x, offset, mask, weight, bias)
-        if impl == "onehot":
+        if impl != "corner":
             return _deform_conv2d_onehot(x, offset, mask, weight, bias)
     ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
     wo = (w + 2 * padding - dilation * (kw - 1) - 1) // stride + 1

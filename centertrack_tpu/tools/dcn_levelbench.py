@@ -83,6 +83,11 @@ def main():
                 lambda *a: deform_conv2d_local(*a, max_offset=3)),
         }
         for name, fn in cands.items():
+            # onehot materializes a dense (9*L, Lp) matrix: ~20 GB at
+            # 136x240 — skip it above the stride-8 level (OOM risk).
+            if name == "exact_onehot" and h * w > 8160:
+                res[key][name] = "SKIP dense-M too large"
+                continue
             try:
                 res[key][name] = round(timeit(fn, x, off, mask, wt,
                                               bias), 3)

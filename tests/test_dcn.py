@@ -118,7 +118,7 @@ def test_slot_fast_path_matches_general():
     offset = jnp.asarray((rng.randn(2, 12, 16, 18) * 5).astype(np.float32))
     mask = jnp.asarray(rng.rand(2, 12, 16, 9).astype(np.float32))
     bias = jnp.asarray(rng.randn(4).astype(np.float32))
-    slow = dcn.deform_conv2d(x, offset, mask, w, bias)
+    slow = dcn.deform_conv2d(x, offset, mask, w, bias, impl="corner")
     fast = dcn._deform_conv2d_slot(x, offset, mask, w, bias)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                atol=1e-4, rtol=1e-4)
@@ -135,7 +135,8 @@ def test_slot_fast_path_gradients():
         return (dcn._deform_conv2d_slot(x, off, mask, w, None) ** 2).sum()
 
     def loss_gen(off):
-        return (dcn.deform_conv2d(x, off, mask, w) ** 2).sum()
+        return (dcn.deform_conv2d(x, off, mask, w,
+                                  impl="corner") ** 2).sum()
 
     g_slot = jax.grad(loss_slot)(off0)
     g_gen = jax.grad(loss_gen)(off0)
@@ -201,7 +202,7 @@ def test_onehot_matches_general():
     offset = jnp.asarray((rng.randn(2, 9, 13, 18) * 6).astype(np.float32))
     mask = jnp.asarray(rng.rand(2, 9, 13, 9).astype(np.float32))
     bias = jnp.asarray(rng.randn(5).astype(np.float32))
-    ref = dcn.deform_conv2d(x, offset, mask, w, bias)
+    ref = dcn.deform_conv2d(x, offset, mask, w, bias, impl="corner")
     fast = dcn._deform_conv2d_onehot(x, offset, mask, w, bias)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
@@ -218,7 +219,8 @@ def test_onehot_gradients():
         return (dcn._deform_conv2d_onehot(x, off, mask, w, None) ** 2).sum()
 
     def loss_gen(off):
-        return (dcn.deform_conv2d(x, off, mask, w) ** 2).sum()
+        return (dcn.deform_conv2d(x, off, mask, w,
+                                  impl="corner") ** 2).sum()
 
     g_oh = jax.grad(loss_oh)(off0)
     g_gen = jax.grad(loss_gen)(off0)
