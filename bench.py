@@ -82,6 +82,10 @@ def synth_frames(n, height=1080, width=1920, n_obj=10, seed=0):
 def load_ckpt(path):
     """(params, batch_stats) as fp32 numpy trees, or (None, None)."""
     if not os.path.exists(path):
+        import sys
+        print(f"WARNING: {path} missing — benching RANDOM weights "
+              f"(no live tracks; regenerate with "
+              f"tools/make_bench_ckpt)", file=sys.stderr)
         return None, None
     import pickle
     with open(path, "rb") as f:
