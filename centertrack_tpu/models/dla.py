@@ -242,7 +242,7 @@ class DeformNode(nn.Module):
     51% of positions) and the gather is cheap. Design data:
     tools/dcn_levelbench.py timings + the trained offset histograms in
     docs/dcn_drift_trained.json; measured 544x960 honest-protocol fps
-    dcn 35.2 / dcn_mix 46.4 / dcn_local1 66.5, and the full +/-2 px
+    dcn 33.6 / dcn_mix 48.2 / dcn_local1 68.2, and the full +/-2 px
     clamp costs only -0.002 MOTA on exact-trained weights (clamping
     stride-16 too — CT_MIX_STRIDE=16 — buys ~1.6 fps for -0.012 MOTA,
     docs/dcn_drift_mix16.json). Override the stride threshold via env
