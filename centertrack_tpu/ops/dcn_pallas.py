@@ -25,7 +25,11 @@ offset sublane slices and pltpu.roll, so it is a toolchain limit, not a
 kernel construct. Re-verified in round 2: per-tap and even
 one-shift-per-kernel splits of this kernel (R=1, 16/8/4/1 shift-FMA
 blocks per pallas_call) all crash identically, so splitting below the
-block threshold does not help either. ops/dcn.deform_conv2d_local is
+block threshold does not help either. Re-retried in round 3
+(tools/pallas_probe, docs/pallas_probe_r3.json): p0-p2/p4/p5 (copies,
+<=30 FMAs, misaligned sublane/lane slices) compile; the tap-loop (p3),
+the production kernel (p7) and the pre-shifted local kernel (p8) still
+crash with the same opaque HTTP 500. ops/dcn.deform_conv2d_local is
 the production path (the whole-model XLA graph fuses it well: 14.6 ms
 forward+decode at 544x960); swap this kernel in when the Mosaic stack
 updates.
