@@ -162,7 +162,7 @@ def _secondary(out_path):
         with open(out_path, "w") as f:   # partial results survive
             json.dump(payload, f)
 
-    # ---- multi-stream throughput (4 concurrent videos) --------------
+    # ---- multi-stream throughput (S concurrent videos) --------------
     from centertrack_tpu.engine.fused import MultiStreamDetector
     from centertrack_tpu.config import Config, parse_task, set_heads
     meta = _mot_meta()

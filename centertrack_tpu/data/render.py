@@ -95,9 +95,12 @@ def render_single(batch: Dict[str, jnp.ndarray], output_h: int,
 def render_batch(batch: Dict[str, jnp.ndarray], cfg) -> Dict[str, jnp.ndarray]:
     """vmap render_single over the batch and merge into the batch dict."""
     heads = cfg.heads_dict
+    # hm_hp has one channel per joint (reference: opts.py:351-354), so the
+    # head width IS dataset_meta.num_joints — no separate plumbing needed.
+    num_joints = heads.get("hm_hp", 0)
     fn = lambda b: render_single(
         b, cfg.output_h, cfg.output_w, cfg.num_classes, cfg.input_h,
-        cfg.input_w, 17, cfg.pre_hm, "hm_hp" in heads)
+        cfg.input_w, num_joints, cfg.pre_hm, "hm_hp" in heads)
     keys = ["hm_cts", "hm_radii", "hm_valid", "cat", "ignore_boxes",
             "ignore_cat", "ignore_valid", "pre_cts_int", "pre_radii",
             "pre_ks", "pre_valid", "hm_hp_cts", "hm_hp_radii",

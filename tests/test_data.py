@@ -118,3 +118,50 @@ def test_tracking_target_offsets(tiny_data):
     # output res is input/4; motion -3,-2 in image px -> -0.75, -0.5
     assert np.all(np.abs(t[:, 0] + 0.75) < 0.6)
     assert np.all(np.abs(t[:, 1] + 0.5) < 0.6)
+
+
+def test_render_batch_non17_joints():
+    # hm_hp channel count must follow dataset_meta.num_joints, not a
+    # hardcoded 17 (reference num_joints plumbing: opts.py:351-354)
+    class FiveJointMeta:
+        num_categories = 2
+        default_resolution = [64, 96]
+        num_joints = 5
+
+    cfg = Config(task="multi_pose", dataset="custom")
+    cfg = parse_task(cfg)
+    cfg = set_heads(cfg, FiveJointMeta)
+    assert cfg.heads_dict["hm_hp"] == 5
+
+    m, j = 4, 5
+    batch = {
+        "hm_cts": np.zeros((1, m, 2), np.int32),
+        "hm_radii": np.ones((1, m), np.int32),
+        "hm_valid": np.zeros((1, m), bool),
+        "cat": np.zeros((1, m), np.int64),
+        "ignore_boxes": np.zeros((1, 2, 4), np.float32),
+        "ignore_cat": np.zeros((1, 2), np.int32),
+        "ignore_valid": np.zeros((1, 2), bool),
+        "hm_hp_cts": np.zeros((1, m * j, 2), np.int32),
+        "hm_hp_radii": np.ones((1, m * j), np.int32),
+        "hm_hp_joint": np.zeros((1, m * j), np.int32),
+        "hm_hp_splat_valid": np.zeros((1, m * j), bool),
+        "hm_hp_ignore_boxes": np.zeros((1, 2, 4), np.float32),
+        "hm_hp_ignore_joint": np.zeros((1, 2), np.int32),
+        "hm_hp_ignore_valid": np.zeros((1, 2), bool),
+        "hm_hp_point_ignore": np.zeros((1, m * j, 2), np.int32),
+        "hm_hp_point_ignore_joint": np.zeros((1, m * j), np.int32),
+        "hm_hp_point_ignore_valid": np.zeros((1, m * j), bool),
+    }
+    batch["hm_cts"][0, 0] = [4, 5]
+    batch["hm_valid"][0, 0] = True
+    batch["hm_hp_cts"][0, 0] = [6, 7]
+    batch["hm_hp_joint"][0, 0] = 3
+    batch["hm_hp_splat_valid"][0, 0] = True
+
+    rendered = render_batch(batch, cfg)
+    assert rendered["hm"].shape == (1, 16, 24, 2)
+    assert rendered["hm_hp"].shape == (1, 16, 24, 5)
+    hp = np.asarray(rendered["hm_hp"])[0]
+    assert hp[7, 6, 3] > 0.99
+    assert hp[:, :, 4].max() == 0.0
