@@ -53,7 +53,11 @@ def install_stubs() -> None:
 
         class Bar:
             def __init__(self, *a, **k):
+                import datetime
+
                 self.suffix = ""
+                self.elapsed_td = datetime.timedelta(0)
+                self.eta_td = datetime.timedelta(0)
 
             def next(self):
                 pass
@@ -66,12 +70,16 @@ def install_stubs() -> None:
         sys.modules["progress"] = progress
         sys.modules["progress.bar"] = bar_mod
     if "pycocotools" not in sys.modules:
-        # dataset classes are imported for their class attrs only; no
-        # COCO object is ever constructed in the detector pipeline
+        # the detector pipeline only imports dataset classes for their
+        # class attrs, but the reference TRAINING path constructs a real
+        # COCO(ann_path) (generic_dataset.py:63) — provide the minimal
+        # functional API (tests/coco_min.py)
+        from tests.coco_min import COCO
+
         pc = types.ModuleType("pycocotools")
         pc.__path__ = []  # mark as package for submodule imports
         coco_mod = types.ModuleType("pycocotools.coco")
-        coco_mod.COCO = object
+        coco_mod.COCO = COCO
         eval_mod = types.ModuleType("pycocotools.cocoeval")
         eval_mod.COCOeval = object
         pc.coco = coco_mod
