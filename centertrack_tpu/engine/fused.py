@@ -79,6 +79,7 @@ class FusedDetector:
         self.capacity = cfg.max_tracks
         self._step = {}
         self._warp = {}
+        self._trans = {}
         self.reset_tracking()
 
     def reset_tracking(self):
@@ -158,14 +159,17 @@ class FusedDetector:
         return step
 
     # ------------------------------------------------------------------
-    def run(self, image) -> jnp.ndarray:
-        """Enqueue one frame; returns the LAZY packed (K, 13) result
-        matrix (pass to fetch() to materialize — ideally a frame
-        later). `image` may be a host uint8 array or an already
-        device-resident one (e.g. staged ahead to overlap the H2D
-        transfer with compute)."""
+    def _transforms(self, height, width):
+        """Device-resident (inv_trans_input, trans_input,
+        inv_trans_output) for a frame size. The transforms are a pure
+        function of (H, W, cfg) — uploading them per frame costs 3 H2D
+        RPCs through the axon tunnel per run(), which is pure dispatch
+        latency at S=1. Cached once per shape instead."""
+        key = (height, width)
+        cached = self._trans.get(key)
+        if cached is not None:
+            return cached
         cfg = self.cfg
-        height, width = image.shape[:2]
         c = np.array([width / 2.0, height / 2.0], np.float32)
         s = max(height, width) * 1.0
         trans_input = get_affine_transform(
@@ -175,19 +179,32 @@ class FusedDetector:
             cfg.input_h // cfg.down_ratio
         inv_trans_output = get_affine_transform(
             c, s, 0, [out_w, out_h], inv=1).astype(np.float32)
+        cached = (jnp.asarray(inv_trans_input),
+                  jnp.asarray(trans_input.astype(np.float32)),
+                  jnp.asarray(inv_trans_output))
+        self._trans[key] = cached
+        return cached
+
+    def run(self, image) -> jnp.ndarray:
+        """Enqueue one frame; returns the LAZY packed (K, 13) result
+        matrix (pass to fetch() to materialize — ideally a frame
+        later). `image` may be a host uint8 array or an already
+        device-resident one (e.g. staged ahead to overlap the H2D
+        transfer with compute)."""
+        height, width = image.shape[:2]
+        inv_trans_input, trans_input, inv_trans_output = \
+            self._transforms(height, width)
 
         in_shape = image.shape
         step = self._step.get(in_shape) or self._build(in_shape)
         frame = jnp.asarray(image)
         if self.pre_images is None:
             self.pre_images = self._warp[in_shape](
-                frame, jnp.asarray(inv_trans_input))
+                frame, inv_trans_input)
         images, self.track_state, results = step(
             self.params, self.batch_stats, frame,
-            jnp.asarray(inv_trans_input),
-            jnp.asarray(trans_input.astype(np.float32)),
-            jnp.asarray(inv_trans_output), self.pre_images,
-            self.track_state)
+            inv_trans_input, trans_input, inv_trans_output,
+            self.pre_images, self.track_state)
         self.pre_images = images
         try:
             # start the D2H transfer now so a lag-1 fetch() finds the
@@ -223,23 +240,21 @@ def _pack_results(scores, clses, cts_img, tracking_img, bboxes_img,
 
 
 def _fetch_one(packed: np.ndarray, out_thresh: float) -> List[Dict]:
-    out = []
-    for row in packed:
-        # filter (not break): robust to any future score-mutating
-        # step between decode and fetch breaking the sort order
-        if row[0] <= out_thresh or row[10] <= 0:
-            continue
-        out.append({
-            "score": float(row[0]),
-            "class": int(row[1]),
-            "ct": row[2:4],
-            "tracking": row[4:6],
-            "bbox": row[6:10],
-            "tracking_id": int(row[10]),
-            "age": int(row[11]),
-            "active": int(row[12]),
-        })
-    return out
+    # vectorized filter (not a sorted-prefix break): robust to any
+    # future score-mutating step between decode and fetch breaking the
+    # sort order. The K-row Python loop this replaces cost ~1 ms/frame
+    # on the single host core — real fps at 60+ fps frame rates.
+    keep = packed[(packed[:, 0] > out_thresh) & (packed[:, 10] > 0)]
+    return [{
+        "score": float(row[0]),
+        "class": int(row[1]),
+        "ct": row[2:4],
+        "tracking": row[4:6],
+        "bbox": row[6:10],
+        "tracking_id": int(row[10]),
+        "age": int(row[11]),
+        "active": int(row[12]),
+    } for row in keep]
 
 
 class MultiStreamDetector:
@@ -290,6 +305,7 @@ class MultiStreamDetector:
         self.batch_stats = jax.device_put(batch_stats or {})
         self.capacity = cfg.max_tracks
         self._step = {}
+        self._trans = {}
         self.reset_tracking()
 
     # -- state management ---------------------------------------------
@@ -405,15 +421,28 @@ class MultiStreamDetector:
         else:
             first = images[0] if images.ndim == 4 else images
         height, width = first.shape[:2]
-        c = np.array([width / 2.0, height / 2.0], np.float32)
-        s = max(height, width) * 1.0
-        trans_input = get_affine_transform(
-            c, s, 0, [cfg.input_w, cfg.input_h]).astype(np.float32)
-        inv_trans_input = invert_affine(trans_input).astype(np.float32)
-        out_w, out_h = cfg.input_w // cfg.down_ratio, \
-            cfg.input_h // cfg.down_ratio
-        inv_trans_output = get_affine_transform(
-            c, s, 0, [out_w, out_h], inv=1).astype(np.float32)
+        key = (height, width)
+        cached = self._trans.get(key)
+        if cached is None:
+            # transforms are a pure function of (H, W, cfg): build the
+            # tiled device copies once per shape (3 fewer H2D RPCs per
+            # run through the axon tunnel)
+            c = np.array([width / 2.0, height / 2.0], np.float32)
+            s = max(height, width) * 1.0
+            trans_input = get_affine_transform(
+                c, s, 0, [cfg.input_w, cfg.input_h]).astype(np.float32)
+            inv_trans_input = invert_affine(trans_input).astype(
+                np.float32)
+            out_w, out_h = cfg.input_w // cfg.down_ratio, \
+                cfg.input_h // cfg.down_ratio
+            inv_trans_output = get_affine_transform(
+                c, s, 0, [out_w, out_h], inv=1).astype(np.float32)
+            tile = lambda m: jnp.asarray(
+                np.broadcast_to(m, (self.streams,) + m.shape))
+            cached = (tile(inv_trans_input), tile(trans_input),
+                      tile(inv_trans_output))
+            self._trans[key] = cached
+        inv_trans_input_d, trans_input_d, inv_trans_output_d = cached
 
         in_shape = (self.streams, height, width, 3)
         step = self._step.get(in_shape) or self._build(in_shape)
@@ -421,8 +450,6 @@ class MultiStreamDetector:
             frames = jnp.stack([jnp.asarray(f) for f in images])
         else:
             frames = jnp.asarray(images)
-        tile = lambda m: jnp.asarray(
-            np.broadcast_to(m, (self.streams,) + m.shape))
         if self.pre_images is None:
             self.pre_images = jnp.zeros(
                 (self.streams, cfg.input_h, cfg.input_w, 3), jnp.float32)
@@ -432,8 +459,8 @@ class MultiStreamDetector:
         fresh = jnp.array(self._fresh)
         images_w, self.track_state, results = step(
             self.params, self.batch_stats, frames,
-            tile(inv_trans_input), tile(trans_input),
-            tile(inv_trans_output), fresh, self.pre_images,
+            inv_trans_input_d, trans_input_d,
+            inv_trans_output_d, fresh, self.pre_images,
             self.track_state)
         self.pre_images = images_w
         self._fresh = np.zeros_like(self._fresh)

@@ -371,7 +371,6 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
     pad = 1 + r  # tap reach + clamp (upper bilinear neighbor is dead)
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
 
-    out = jnp.zeros((b, h, w, cout), dtype=x.dtype)
     shift_cache = {}
 
     def shifted(a: int, bb: int):
@@ -381,28 +380,53 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
                 xp, (0, pad + a, pad + bb, 0), (b, h, w, cin))
         return shift_cache[key]
 
-    for i in range(3):
-        for j in range(3):
-            t = i * 3 + j
-            ty, tx = i - 1, j - 1
-            dy = jnp.clip(offset[..., 2 * t], -r, r)
-            dx = jnp.clip(offset[..., 2 * t + 1], -r, r)
-            m = mask[..., t]
-            sampled = jnp.zeros((b, h, w, cin), dtype=x.dtype)
-            for a in range(ty - r, ty + r + 1):
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty + dy - a))
-                for bb in range(tx - r, tx + r + 1):
-                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx + dx - bb))
-                    wgt = (wy * wx)
-                    sampled = sampled + shifted(a, bb) * \
-                        wgt[..., None].astype(x.dtype)
-            sampled = sampled * m[..., None].astype(x.dtype)
-            out = out + jnp.einsum(
-                "bhwc,cd->bhwd", sampled, weight[i, j],
-                preferred_element_type=out.dtype)
+    def sampled_tap(i: int, j: int):
+        t = i * 3 + j
+        ty, tx = i - 1, j - 1
+        dy = jnp.clip(offset[..., 2 * t], -r, r)
+        dx = jnp.clip(offset[..., 2 * t + 1], -r, r)
+        m = mask[..., t]
+        sampled = jnp.zeros((b, h, w, cin), dtype=x.dtype)
+        for a in range(ty - r, ty + r + 1):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty + dy - a))
+            for bb in range(tx - r, tx + r + 1):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx + dx - bb))
+                wgt = (wy * wx)
+                sampled = sampled + shifted(a, bb) * \
+                    wgt[..., None].astype(x.dtype)
+        return sampled * m[..., None].astype(x.dtype)
+
+    import os
+    impl = os.environ.get("CT_LOCAL_IMPL", "fused")
+    if impl == "taploop":
+        # 9 thin K=Cin matmuls with an out-map accumulation between
+        # each (the r1-r3 formulation; kept for A/B)
+        out = jnp.zeros((b, h, w, cout), dtype=x.dtype)
+        for i in range(3):
+            for j in range(3):
+                out = out + jnp.einsum(
+                    "bhwc,cd->bhwd", sampled_tap(i, j), weight[i, j],
+                    preferred_element_type=out.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
+
+    # default: fold the 9 taps into ONE K=9*Cin MXU matmul. Versus the
+    # tap loop this removes 8 elementwise accumulations over the
+    # (B, H, W, Cout) out map and feeds the 128x128 systolic array a
+    # full-depth contraction (K=576 at Cin=64 instead of nine K=64
+    # passes), at the cost of one (B, H, W, 9*Cin) stacked transient.
+    # tap axis flattens next to Cin so weight's (i, j, Cin) row-major
+    # flatten lines up: k = t*Cin + c
+    stacked = jnp.stack([sampled_tap(i, j) for i in range(3)
+                         for j in range(3)], axis=3)
+    stacked = stacked.reshape(b, h, w, 9 * cin)
+    out = jnp.einsum("bhwk,kd->bhwd", stacked,
+                     weight.reshape(9 * cin, cout),
+                     preferred_element_type=jnp.float32)
     if bias is not None:
-        out = out + bias
-    return out
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def plain_conv_reference(x, weight, bias=None, stride=1, padding=1,
