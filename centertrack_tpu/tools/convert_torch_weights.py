@@ -542,6 +542,86 @@ def convert_generic_mobilenet_dlaup(state_dict, num_layers=0):
     return convert_generic(state_dict, "mobilenet", "dlaup")
 
 
+# ---------------------------------------------------------------------------
+# Inverse direction: flax checkpoint -> torch state_dict.
+# ---------------------------------------------------------------------------
+
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def invert_to_torch(params, batch_stats, template_sd, convert_fn):
+    """Map a flax (params, batch_stats) checkpoint back onto the
+    reference's torch state_dict naming scheme.
+
+    Works for ANY of this module's converters without duplicating their
+    mapping logic: `template_sd` (a torch state_dict of the target
+    architecture, values only used for shapes) is re-filled with global
+    element indices and pushed through `convert_fn`; each flax leaf
+    then records exactly which torch element every one of its values
+    came from, and the real leaves are scattered back through that
+    permutation. Layout-only converters (transpose/flip/reorder — all
+    of this module) invert exactly; any arithmetic transform would
+    break the integer probe and is detected.
+
+    Intended for parity testing (running reference tooling on weights
+    trained here, e.g. tests/test_full_pipeline_parity.py); the forward
+    direction remains the production path (reference checkpoints in,
+    src/lib/model/model.py:31-71 naming).
+
+    Returns {torch_name: np.ndarray}. Tensors the converter never reads
+    (e.g. num_batches_tracked) keep their template values.
+    """
+    shapes = {k: np.asarray(v).shape for k, v in template_sd.items()}
+    spans, probe_sd, off = {}, {}, 0
+    for name, shp in shapes.items():
+        size = int(np.prod(shp)) if shp else 1
+        probe_sd[name] = np.arange(
+            off, off + size, dtype=np.float64).reshape(shp)
+        spans[name] = (off, off + size)
+        off += size
+
+    probe_params, probe_stats, _ = convert_fn(probe_sd)
+    probe = _flatten_tree(probe_params)
+    probe.update({f"stats/{k}": v
+                  for k, v in _flatten_tree(probe_stats).items()})
+    real = _flatten_tree(params)
+    real.update({f"stats/{k}": v
+                 for k, v in _flatten_tree(batch_stats).items()})
+
+    flat = np.full(off, np.nan, np.float64)
+    for path, pleaf in probe.items():
+        assert path in real, f"flax tree missing converted leaf {path}"
+        ids = np.asarray(pleaf)
+        int_ids = np.round(ids).astype(np.int64)
+        assert np.array_equal(ids, int_ids), \
+            f"{path}: converter applied arithmetic, cannot invert"
+        rleaf = np.asarray(real[path], np.float64)
+        assert rleaf.shape == ids.shape, \
+            f"{path}: shape {rleaf.shape} vs probe {ids.shape}"
+        flat[int_ids.ravel()] = rleaf.ravel()
+
+    out = {}
+    for name, shp in shapes.items():
+        lo, hi = spans[name]
+        vals = flat[lo:hi]
+        if np.isnan(vals).any():  # untouched by the converter
+            out[name] = np.asarray(template_sd[name])
+        else:
+            t = np.asarray(template_sd[name])
+            out[name] = vals.reshape(shp).astype(
+                t.dtype if np.issubdtype(t.dtype, np.floating)
+                else np.float32)
+    return out
+
+
 CONVERTERS = {
     "dla": lambda sd, n: convert_dla34(sd),
     "dlav0": convert_dlav0,

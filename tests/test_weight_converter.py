@@ -107,18 +107,26 @@ def _fake_state_dict(params, stats):
     return renamed
 
 
-@pytest.mark.skip(reason="mapping round-trip is exercised structurally "
-                         "in test_converted_tree_structure; the full "
-                         "inverse mapping is too intricate to maintain "
-                         "in a test")
 def test_full_roundtrip():
-    pass
+    """torch sd -> convert_dla34 -> invert_to_torch must reproduce the
+    original state_dict EXACTLY (the inverse recovers the converter's
+    element permutation from an index probe, so every transpose/flip
+    must round-trip bit-for-bit)."""
+    from centertrack_tpu.tools.convert_torch_weights import invert_to_torch
+
+    sd = _fabricated_reference_sd()
+    params, stats, unused = convert_dla34(sd)
+    assert not unused, unused[:5]
+    back = invert_to_torch(params, stats, sd, convert_dla34)
+    assert set(back) == set(sd)
+    for k in sd:
+        assert back[k].shape == sd[k].shape, k
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
 
 
-def test_converted_tree_structure():
-    """Build a fake torch state dict directly with reference names and
-    the reference shapes, convert, and verify every leaf of our model's
-    param tree is covered with the right shape."""
+def _fabricated_reference_sd():
+    """A torch state_dict with reference names and reference shapes
+    (random values), for the dla_34 tracking config."""
     net = CenterTrackNet(
         arch="dla", num_layers=34,
         heads=(("hm", 1), ("reg", 2), ("wh", 2), ("tracking", 2)),
@@ -150,7 +158,26 @@ def test_converted_tree_structure():
     for path, w in tmpl_s.items():
         name = _to_torch_stat_name(path)
         sd[name] = rng.rand(*w.shape).astype(np.float32)
+    return sd
 
+
+def test_converted_tree_structure():
+    """Build a fake torch state dict directly with reference names and
+    the reference shapes, convert, and verify every leaf of our model's
+    param tree is covered with the right shape."""
+    net = CenterTrackNet(
+        arch="dla", num_layers=34,
+        heads=(("hm", 1), ("reg", 2), ("wh", 2), ("tracking", 2)),
+        head_convs=(("hm", (256,)), ("reg", (256,)), ("wh", (256,)),
+                    ("tracking", (256,))),
+        dla_node="dcn", with_pre_img=True, with_pre_hm=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    hm = jnp.zeros((1, 32, 32, 1))
+    variables = jax.jit(net.init)(jax.random.PRNGKey(0), x, x, hm)
+    tmpl_p = _flatten(variables["params"])
+    tmpl_s = _flatten(variables["batch_stats"])
+
+    sd = _fabricated_reference_sd()
     params, stats, unused = convert_dla34(sd)
     got_p = _flatten(params)
     got_s = _flatten(stats)
