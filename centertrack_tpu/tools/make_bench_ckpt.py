@@ -43,20 +43,34 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--out_dir", default="assets")
     ap.add_argument("--root", default="")
+    ap.add_argument("--bench_domain", action="store_true",
+                    help="train at 544x960 input on 1920x1080 frames "
+                         "with scale-2 objects — bench.py's exact "
+                         "serving domain (object scale at input "
+                         "resolution matches the 96x160 default)")
+    ap.add_argument("--batch_size", type=int, default=8)
     args = ap.parse_args()
 
     from centertrack_tpu.tools import selftest
 
     os.makedirs(args.out_dir, exist_ok=True)
     root = args.root or tempfile.mkdtemp(prefix="ct_benchckpt_")
-    ann_path, img_dir = selftest.make_dataset(root)
+    if args.bench_domain:
+        ann_path, img_dir = selftest.make_dataset(
+            root, width=1920, height=1080, scale=2.0, max_objs=8)
+        input_h, input_w = 544, 960
+    else:
+        ann_path, img_dir = selftest.make_dataset(root)
+        input_h, input_w = 96, 160
     name = {"dcn": "selftest_dcn_fp16.ckpt",
             "dcn_local1": "selftest_local1_fp16.ckpt",
             "dcn_local": "selftest_local_fp16.ckpt",
             "dcn_mix": "selftest_mix_fp16.ckpt"}
     for node in args.nodes:
         cfg = selftest.build_cfg(ann_path, img_dir, dla_node=node,
-                                 epochs=args.epochs)
+                                 epochs=args.epochs,
+                                 batch_size=args.batch_size,
+                                 input_h=input_h, input_w=input_w)
         print(f"training {node} ({args.epochs} epochs)...", flush=True)
         params, bs = selftest.train(cfg, args.epochs)
         overall = selftest.evaluate(cfg, params, bs, ann_path, img_dir)

@@ -23,7 +23,12 @@ import numpy as np
 
 
 def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
-                 seed=0):
+                 seed=0, scale=1.0, max_objs=3):
+    """`scale` multiplies object size/velocity/margins so larger frame
+    sizes keep the same object scale AT NETWORK INPUT RESOLUTION as the
+    96x160 default (e.g. scale=2 on 1920x1080 frames warped to 544x960
+    input reproduces the default's 16-30 px input-pixel objects —
+    bench.py's honest-workload domain)."""
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
     images, annotations, videos = [], [], []
@@ -31,11 +36,13 @@ def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
     rng = np.random.RandomState(seed)
     for v in range(num_videos):
         videos.append({"id": v + 1, "file_name": f"video{v + 1}"})
-        n_obj = rng.randint(2, 4)
-        pos = rng.uniform([10, 10], [width - 40, height - 30],
+        n_obj = rng.randint(2, max_objs + 1)
+        pos = rng.uniform([10 * scale, 10 * scale],
+                          [width - 40 * scale, height - 30 * scale],
                           (n_obj, 2))
-        vel = rng.uniform(-2.5, 2.5, (n_obj, 2))
-        size = rng.uniform([16, 12], [30, 22], (n_obj, 2))
+        vel = rng.uniform(-2.5 * scale, 2.5 * scale, (n_obj, 2))
+        size = rng.uniform([16 * scale, 12 * scale],
+                           [30 * scale, 22 * scale], (n_obj, 2))
         colors = rng.randint(40, 220, (n_obj, 3))
         for f in range(frames):
             img_id += 1
@@ -54,7 +61,8 @@ def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
                 cv2.rectangle(img, (int(x), int(y)),
                               (int(x + w), int(y + h)),
                               tuple(int(c) for c in colors[o]), -1)
-                cv2.circle(img, (int(x + w / 2), int(y + h / 2)), 3,
+                cv2.circle(img, (int(x + w / 2), int(y + h / 2)),
+                           max(2, int(round(3 * scale))),
                            (255, 255, 255), -1)
                 ann_id += 1
                 annotations.append({
@@ -75,13 +83,14 @@ def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
 
 def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
               compute_dtype: str = "float32", batch_size: int = 8,
-              lr: float = 5e-4, epochs: int = 30):
+              lr: float = 5e-4, epochs: int = 30, input_h: int = 96,
+              input_w: int = 160):
     from centertrack_tpu.config import Config, parse_task, set_heads
 
     cfg = Config(
         task="tracking", dataset="custom", pre_hm=True,
         custom_dataset_ann_path=ann_path, custom_dataset_img_path=img_dir,
-        num_classes=1, input_h=96, input_w=160,
+        num_classes=1, input_h=input_h, input_w=input_w,
         dla_node=dla_node, compute_dtype=compute_dtype,
         batch_size=batch_size, lr=lr,
         hm_disturb=0.05, lost_disturb=0.4, fp_disturb=0.1,
@@ -90,7 +99,7 @@ def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
         num_epochs=epochs)
     cfg = parse_task(cfg)
     return set_heads(cfg, type("M", (), {
-        "num_categories": 1, "default_resolution": (96, 160),
+        "num_categories": 1, "default_resolution": (input_h, input_w),
         "num_joints": 17}))
 
 
@@ -122,7 +131,7 @@ def selftest_meta(cfg):
 
     class Meta:
         num_categories = 1
-        default_resolution = (96, 160)
+        default_resolution = (cfg.input_h, cfg.input_w)
         num_joints = 17
         rest_focal_length = 1200
         flip_idx = []

@@ -206,8 +206,10 @@ def train_eval_ours(ann_path, img_dir, node, epochs, batch_size=8,
 
 # ------------------------------------------------------------------ main
 
-def run_leg(node, root, epochs, do_ours=True, do_ref=True, log=print):
-    ann_path, img_dir = make_domain(root)
+def run_leg(node, root, epochs, do_ours=True, do_ref=True, log=print,
+            num_videos=6, frames=24):
+    ann_path, img_dir = make_domain(root, num_videos=num_videos,
+                                    frames=frames)
     out = {"node": node, "epochs": epochs}
     if do_ref:
         ckpt = os.path.join(root, f"ref_{node}.pth")
