@@ -29,10 +29,13 @@ block threshold does not help either. Re-retried in round 3
 (tools/pallas_probe, docs/pallas_probe_r3.json): p0-p2/p4/p5 (copies,
 <=30 FMAs, misaligned sublane/lane slices) compile; the tap-loop (p3),
 the production kernel (p7) and the pre-shifted local kernel (p8) still
-crash with the same opaque HTTP 500. ops/dcn.deform_conv2d_local is
-the production path (the whole-model XLA graph fuses it well: 14.6 ms
-forward+decode at 544x960); swap this kernel in when the Mosaic stack
-updates.
+crash with the same opaque HTTP 500. Round 4 (FINAL): the
+tap-as-grid-dimension shape (ops/dcn_pallas_grid.py) fails identically
+even at 16x24x8, and its stride-8 case crashed the TPU worker process
+(docs/pallas_probe_r4.json) — experiment retired.
+ops/dcn.deform_conv2d_local is the production path (the whole-model
+XLA graph fuses it well: 14.6 ms forward+decode at 544x960); swap a
+fused kernel in when the Mosaic stack updates.
 """
 
 from __future__ import annotations

@@ -21,9 +21,19 @@ Same math as ops/dcn.deform_conv2d_local (hat-function bilinear with
 offsets clamped to +/-r). Replaces the reference's CUDA DCNv2
 (reference: src/lib/model/networks/DCNv2, consumed at dla.py:513).
 
-STATUS: interpret-mode verified (tests/test_dcn_pallas.py). The round-4
-TPU probe (tools/pallas_probe_grid.py) records whether the remote
-Mosaic toolchain accepts this shape; see docs/pallas_probe_r4.json.
+STATUS — FINAL (round 4, experiment retired): interpret-mode verified
+(tests/test_dcn_pallas.py), but the remote Mosaic toolchain rejects
+this shape too (docs/pallas_probe_r4.json): the tiny 16x24x8 case gets
+the same opaque remote_compile HTTP 500 as every earlier attempt, and
+the stride-8 production shape CRASHED THE TPU WORKER PROCESS
+(UNAVAILABLE, ~5 min recovery). Four program shapes over four rounds —
+monolithic 9-tap body, per-tap pallas_call splits, one-shift-per-kernel
+splits, and this tap-as-grid accumulator — all fail identically while
+every sub-dozen-FMA probe compiles, confirming a toolchain limit, not a
+kernel-design one. The production DCN paths remain the pure-XLA
+formulations in ops/dcn.py (fat-matmul local, slot gather, onehot
+matmul), which already beat the reference's FPS target. Do not re-probe
+casually: the failing compile can take the TPU worker down with it.
 """
 
 from __future__ import annotations
