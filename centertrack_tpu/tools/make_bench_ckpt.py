@@ -44,10 +44,16 @@ def main():
     ap.add_argument("--out_dir", default="assets")
     ap.add_argument("--root", default="")
     ap.add_argument("--bench_domain", action="store_true",
-                    help="train at 544x960 input on 1920x1080 frames "
-                         "with scale-2 objects — bench.py's exact "
-                         "serving domain (object scale at input "
-                         "resolution matches the 96x160 default)")
+                    help="train on 1920x1080 frames with objects scaled "
+                         "to land at the 96x160 default's 16-30 px "
+                         "scale AT NETWORK INPUT RESOLUTION — bench.py's "
+                         "serving regime (object scale transfers across "
+                         "any --input size; offsets/BN see full-size "
+                         "maps)")
+    ap.add_argument("--input_h", type=int, default=0,
+                    help="bench_domain input height (default 544; the "
+                         "96x160 mode ignores this)")
+    ap.add_argument("--input_w", type=int, default=0)
     ap.add_argument("--batch_size", type=int, default=8)
     args = ap.parse_args()
 
@@ -56,9 +62,12 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     root = args.root or tempfile.mkdtemp(prefix="ct_benchckpt_")
     if args.bench_domain:
+        input_h = args.input_h or 544
+        input_w = args.input_w or 960
+        # object scale at input = 16-30 px iff scale = width / input_w
         ann_path, img_dir = selftest.make_dataset(
-            root, width=1920, height=1080, scale=2.0, max_objs=8)
-        input_h, input_w = 544, 960
+            root, width=1920, height=1080, scale=1920 / input_w,
+            max_objs=8)
     else:
         ann_path, img_dir = selftest.make_dataset(root)
         input_h, input_w = 96, 160

@@ -102,7 +102,8 @@ def time_steps(cfg, batch, iters, warmup=3, log=print):
 
 def run_leg(ann_path, img_dir, node, batch_size, iters, log=print,
             input_h=544, input_w=960):
-    leg = {"node": node, "batch": batch_size, "remat": False}
+    leg = {"node": node, "batch": batch_size, "remat": False,
+           "input": f"{input_h}x{input_w}"}
     cfg = build_cfg(ann_path, img_dir, node, batch_size,
                     input_h=input_h, input_w=input_w)
     batch = grab_batch(cfg, batch_size)
@@ -149,11 +150,25 @@ def main(argv=None):
         "iters": args.iters,
         "legs": [],
     }
+    if args.out and os.path.exists(args.out):  # merge over prior runs
+        with open(args.out) as f:
+            payload["legs"] = json.load(f).get("legs", [])
+
+    def put(leg):
+        k = lambda l: (l["node"], l["batch"], l.get("input", "544x960"))
+        payload["legs"] = [l for l in payload["legs"]
+                           if k(l) != k(leg)] + [leg]
+
     for node in args.nodes:
         for b in args.batches:
-            payload["legs"].append(
-                run_leg(ann_path, img_dir, node, b, args.iters,
-                        input_h=args.input_h, input_w=args.input_w))
+            try:
+                put(run_leg(ann_path, img_dir, node, b, args.iters,
+                            input_h=args.input_h, input_w=args.input_w))
+            except Exception as e:  # record and keep going
+                print(f"  {node} B={b} FAILED: {type(e).__name__}")
+                put({"node": node, "batch": b,
+                     "input": f"{args.input_h}x{args.input_w}",
+                     "error": f"{type(e).__name__}: {e}"[:200]})
             if args.out:
                 os.makedirs(os.path.dirname(args.out) or ".",
                             exist_ok=True)
