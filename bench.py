@@ -11,7 +11,9 @@ are all inside the measurement (reference timing protocol:
 src/lib/detector.py:56-172).
 
 Primary: engine/fused.py with the dcn_local1 node and weights TRAINED
-with that node. Secondaries (detached child, stable result path):
+with that node. chunk4 runs the same engine's run_chunk mode (one
+lax.scan dispatch per 4 frames, every frame's results still fetched).
+Secondaries (detached child, stable result path):
   - dcn_mix   : per-level exact/clamped mix, dcn-trained weights
   - dcn       : full exact gather DCNv2, dcn-trained weights
   - multi-stream: 6 concurrent streams, aggregate fps
@@ -146,6 +148,41 @@ def timed_tracking(det, cfg, frames, iters, warmup=5, lag=4):
     return iters / dt, float(np.mean(live))
 
 
+def timed_tracking_chunked(det, cfg, frames, iters, chunk=4, warmup=3):
+    """run_chunk protocol: ONE dispatch advances `chunk` frames (lax.scan
+    over time on device); EVERY frame's results are still fetched, one
+    chunk behind dispatch — i.e. results stream out within 2*chunk
+    frames of capture, the same order of delay as the per-frame mode's
+    lag-4 async fetch. `iters` counts chunks; fps counts frames.
+    Returns (fps, mean live tracks per frame)."""
+    import collections
+    import jax.numpy as jnp
+    n = len(frames)
+    dev_chunks = [jnp.asarray(np.stack(
+        [frames[(i * chunk + j) % n] for j in range(chunk)]))
+        for i in range((n + chunk - 1) // chunk)]
+    pend = collections.deque()
+    for i in range(warmup):
+        pend.append(det.run_chunk(dev_chunks[i % len(dev_chunks)]))
+        if len(pend) > 1:
+            det.fetch_chunk(pend.popleft(), cfg.out_thresh)
+    while pend:
+        det.fetch_chunk(pend.popleft(), cfg.out_thresh)
+    live = []
+    t0 = time.time()
+    for i in range(iters):
+        pend.append(det.run_chunk(
+            dev_chunks[(warmup + i) % len(dev_chunks)]))
+        if len(pend) > 1:
+            for fr in det.fetch_chunk(pend.popleft(), cfg.out_thresh):
+                live.append(len(fr))
+    while pend:
+        for fr in det.fetch_chunk(pend.popleft(), cfg.out_thresh):
+            live.append(len(fr))
+    dt = time.time() - t0
+    return iters * chunk / dt, float(np.mean(live))
+
+
 def _secondary(out_path):
     """Child-process entry: dcn_mix + exact dcn + multi-stream, all on
     trained weights and honest frames; one JSON payload to out_path."""
@@ -248,6 +285,10 @@ def main():
     fps, live = timed_tracking(det, cfg, frames, iters=60)
     print(f"headline: {fps:.2f} fps, {live:.1f} live tracks/frame, "
           f"trained={trained}", file=sys.stderr)
+    cfps, clive = timed_tracking_chunked(det, cfg, frames, iters=20,
+                                         chunk=4)
+    print(f"chunk4: {cfps:.2f} fps, {clive:.1f} live tracks/frame",
+          file=sys.stderr)
 
     out = {
         "metric": "MOT17_tracking_FPS_dla34_544x960_1chip_fused",
@@ -256,6 +297,8 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "live_tracks_per_frame": round(live, 1),
         "trained_weights": trained,
+        "chunk4_fps": round(cfps, 2),
+        "chunk4_live_tracks": round(clive, 1),
     }
     out.update(_secondary_subprocess())
     if "dcn_fps" in out:

@@ -78,6 +78,7 @@ class FusedDetector:
         self.batch_stats = jax.device_put(batch_stats or {})
         self.capacity = cfg.max_tracks
         self._step = {}
+        self._chunk = {}
         self._warp = {}
         self._trans = {}
         self.reset_tracking()
@@ -99,9 +100,8 @@ class FusedDetector:
                                     cfg.input_w, mean, std,
                                     axis_aligned=True)
 
-        @jax.jit
-        def step(params, batch_stats, frame_u8, inv_trans_input,
-                 trans_input, inv_trans_output, pre_images, state):
+        def one_frame(params, batch_stats, frame_u8, inv_trans_input,
+                      trans_input, inv_trans_output, pre_images, state):
             images = warp(frame_u8, inv_trans_input)
 
             # ---- pre_hm from device track state --------------------
@@ -154,8 +154,30 @@ class FusedDetector:
                                     tracking_img, bboxes_img, assoc)
             return images, new_state, results
 
+        step = jax.jit(one_frame)
+
+        @jax.jit
+        def chunk(params, batch_stats, frames_u8, inv_trans_input,
+                  trans_input, inv_trans_output, pre_images, state):
+            # lax.scan over the time axis: ONE dispatch RPC advances F
+            # frames, carrying (pre_images, track_state) in HBM. Per
+            # frame this runs the exact one_frame program — the win is
+            # purely amortized dispatch latency (the S=1 pipeline is
+            # latency-bound at 42% of the memory roof, docs/PERF.md).
+            def body(carry, frame_u8):
+                pre_images, state = carry
+                images, new_state, results = one_frame(
+                    params, batch_stats, frame_u8, inv_trans_input,
+                    trans_input, inv_trans_output, pre_images, state)
+                return (images, new_state), results
+
+            (pre_images, state), results = jax.lax.scan(
+                body, (pre_images, state), frames_u8)
+            return pre_images, state, results
+
         self._warp[in_shape] = warp
         self._step[in_shape] = step
+        self._chunk[in_shape] = chunk
         return step
 
     # ------------------------------------------------------------------
@@ -214,6 +236,52 @@ class FusedDetector:
         except Exception:
             pass
         return results
+
+    def run_chunk(self, frames) -> jnp.ndarray:
+        """Advance the tracker over F consecutive frames with ONE
+        device dispatch (lax.scan over time, carrying pre_images +
+        track state in HBM) and return the lazy packed (F, K, 13)
+        result matrix — every frame's results, identical math to F
+        run() calls. At S=1 the pipeline is dispatch-latency-bound
+        (docs/PERF.md), so amortizing the per-step RPC over F frames
+        raises throughput while results still stream out within F
+        frames of capture — the same delay window as the lag-4 async
+        fetch the per-frame mode already needs. `frames` is a stacked
+        (F, H, W, 3) uint8 array or a list of same-shaped frames (host
+        or device)."""
+        if isinstance(frames, (list, tuple)):
+            frames = jnp.stack([jnp.asarray(f) for f in frames])
+        else:
+            frames = jnp.asarray(frames)
+        height, width = frames.shape[1:3]
+        inv_trans_input, trans_input, inv_trans_output = \
+            self._transforms(height, width)
+        in_shape = tuple(frames.shape[1:])
+        if in_shape not in self._chunk:
+            self._build(in_shape)
+        chunk = self._chunk[in_shape]
+        if self.pre_images is None:
+            self.pre_images = self._warp[in_shape](
+                frames[0], inv_trans_input)
+        self.pre_images, self.track_state, results = chunk(
+            self.params, self.batch_stats, frames,
+            inv_trans_input, trans_input, inv_trans_output,
+            self.pre_images, self.track_state)
+        try:
+            results.copy_to_host_async()
+        except Exception:
+            pass
+        return results
+
+    @staticmethod
+    def fetch_chunk(results: jnp.ndarray,
+                    out_thresh: float) -> List[List[Dict]]:
+        """Materialize a run_chunk result into per-frame dict-lists
+        with ONE device->host transfer of the packed (F, K, 13) matrix
+        (per-frame fetches would cost F tunnel round trips)."""
+        host = np.asarray(results)
+        return [_fetch_one(host[f], out_thresh)
+                for f in range(len(host))]
 
     @staticmethod
     def fetch(results: jnp.ndarray, out_thresh: float) -> List[Dict]:
