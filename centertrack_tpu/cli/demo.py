@@ -3,6 +3,11 @@
 Usage:
   python -m centertrack_tpu.cli.demo tracking --demo video.mp4 \
       --load_model model.ckpt [--save_video --video_out out.mp4]
+
+Engine modes: default = host Detector (reference-parity loop);
+--fused = zero-host-sync FusedDetector (latency mode); --chunk F =
+run_chunk (one lax.scan dispatch per F frames — throughput mode for
+offline video; results lag up to 2F-1 frames).
 """
 
 from __future__ import annotations
@@ -44,6 +49,60 @@ class _FusedRunner:
                 "track": 0.0}
 
 
+class _ChunkRunner:
+    """Adapts FusedDetector.run_chunk to the demo loop: buffers F
+    frames, advances them all in ONE device dispatch (lax.scan over
+    time), and hands results back per frame with up to 2F-1 frames of
+    lag — the throughput serving mode for offline video (the per-frame
+    --fused mode is the latency mode)."""
+
+    def __init__(self, fused, cfg, chunk):
+        self.fused = fused
+        self.cfg = cfg
+        self.chunk = int(chunk)
+        self._buf = []
+        self._ready = []
+        self._pending = None
+        self.emitted = 0  # frames whose results run() has returned
+
+    def _dispatch(self):
+        from centertrack_tpu.engine.fused import FusedDetector
+        lazy = self.fused.run_chunk(np.stack(self._buf))
+        self._buf = []
+        if self._pending is not None:
+            self._ready.extend(FusedDetector.fetch_chunk(
+                self._pending, self.cfg.out_thresh))
+        self._pending = lazy
+
+    def run(self, img, meta=None):
+        import time
+        t0 = time.time()
+        self._buf.append(img)
+        if len(self._buf) == self.chunk:
+            self._dispatch()
+        if self._ready:
+            results = self._ready.pop(0)
+            self.emitted += 1
+        else:
+            results = []
+        dt = time.time() - t0
+        return {"results": results, "tot": dt, "pre": 0.0, "net": dt,
+                "post": 0.0, "track": 0.0}
+
+    def flush(self):
+        """Drain buffered + in-flight frames at end of stream; returns
+        the remaining per-frame result lists in order."""
+        from centertrack_tpu.engine.fused import FusedDetector
+        if self._buf:
+            self._dispatch()
+        if self._pending is not None:
+            self._ready.extend(FusedDetector.fetch_chunk(
+                self._pending, self.cfg.out_thresh))
+            self._pending = None
+        out, self._ready = self._ready, []
+        return out
+
+
 def _draw_results(img, results, vis_thresh=0.3):
     """Minimal overlay: boxes + ids + tracking arrows."""
     out = img.copy()
@@ -67,7 +126,11 @@ def _draw_results(img, results, vis_thresh=0.3):
 
 
 def demo(cfg, args):
-    if getattr(args, "fused", False):
+    chunk = int(getattr(args, "chunk", 0) or 0)
+    if chunk > 1:
+        from centertrack_tpu.engine.fused import FusedDetector
+        detector = _ChunkRunner(FusedDetector(cfg), cfg, chunk)
+    elif getattr(args, "fused", False):
         from centertrack_tpu.engine.fused import FusedDetector
         detector = _FusedRunner(FusedDetector(cfg), cfg)
     else:
@@ -118,6 +181,12 @@ def demo(cfg, args):
             writer.write(vis)
         if cfg.num_iters > 0 and cnt >= cfg.num_iters:
             break
+    if hasattr(detector, "flush"):
+        # chunk mode: trailing frames' results are still buffered /
+        # in flight; attribute them to their frame indices in order
+        tail = detector.flush()
+        for i, res in enumerate(tail):
+            results[detector.emitted + i + 1] = res
     if writer is not None:
         writer.release()
     if args.save_results:
@@ -140,8 +209,14 @@ def main():
     extra = "--fused" in _sys.argv
     if extra:
         _sys.argv.remove("--fused")
+    chunk = 0
+    if "--chunk" in _sys.argv:
+        i = _sys.argv.index("--chunk")
+        chunk = int(_sys.argv[i + 1])
+        del _sys.argv[i:i + 2]
     cfg, args = parse_demo()
     args.fused = extra
+    args.chunk = chunk
     if args.demo == "":
         print("usage: demo.py <task> --demo <path>")
         sys.exit(1)
