@@ -261,7 +261,8 @@ class DeformNode(nn.Module):
             thr = int(os.environ.get("CT_MIX_STRIDE", "8"))
             mode = "local" if self.map_stride <= thr else "gather"
         x = DCNLayer(self.features, 3, dtype=self.dtype, mode=mode,
-                     max_offset=self.max_offset, name="conv")(x)
+                     max_offset=self.max_offset, name="conv")(
+            x, train=train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          name="actf_bn")(x)

@@ -252,7 +252,7 @@ class MSRAUpNeck(nn.Module):
         x = feats[-1]
         for i, planes in enumerate(planes_list):
             x = DCNLayer(planes, 3, dtype=self.dtype,
-                         name=f"dcn_{i}")(x)
+                         name=f"dcn_{i}")(x, train=train)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"dcn_bn_{i}")(x)

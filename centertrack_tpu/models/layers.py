@@ -128,7 +128,7 @@ class DCNLayer(nn.Module):
     max_offset: int = 2        # offset clamp for 'local'
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         from centertrack_tpu.ops.dcn import deform_conv2d, \
             deform_conv2d_local
         k2 = self.kernel * self.kernel
@@ -156,7 +156,8 @@ class DCNLayer(nn.Module):
         if self.mode == "local" and self.kernel == 3 \
                 and self.stride == 1 and self.dilation == 1:
             return deform_conv2d_local(x, offset, mask, weight, bias,
-                                       max_offset=self.max_offset)
+                                       max_offset=self.max_offset,
+                                       train=train)
         return deform_conv2d(x, offset, mask, weight, bias,
                              stride=self.stride, padding=pad,
                              dilation=self.dilation)

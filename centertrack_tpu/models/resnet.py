@@ -154,7 +154,7 @@ class PoseResDCN(nn.Module):
             x, pre_img, pre_hm, train=train)
         for i, planes in enumerate(self.deconv_channels):
             x = DCNLayer(planes, 3, dtype=self.dtype,
-                         name=f"dcn_{i}")(x)
+                         name=f"dcn_{i}")(x, train=train)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"dcn_bn_{i}")(x)

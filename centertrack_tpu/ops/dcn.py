@@ -336,7 +336,8 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
 def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
                         mask: jnp.ndarray, weight: jnp.ndarray,
                         bias: jnp.ndarray | None = None,
-                        max_offset: int = 2) -> jnp.ndarray:
+                        max_offset: int = 2,
+                        train: bool = False) -> jnp.ndarray:
     """Gather-free modulated deformable conv (TPU fast path).
 
     Identical to `deform_conv2d` (stride 1, dilation 1) EXCEPT offsets
@@ -397,7 +398,17 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
         return sampled * m[..., None].astype(x.dtype)
 
     import os
-    impl = os.environ.get("CT_LOCAL_IMPL", "fused")
+    # Two equivalent contractions (bit-identical math, different
+    # schedules). A/B on v5e, dla_34 544x960 (docs/train_bench.json +
+    # docs/dcn_exact_impl_ab.json):
+    #   - fused (one K=9*Cin matmul) wins INFERENCE (fewer out-map
+    #     accumulation passes),
+    #   - taploop wins TRAINING: 376.5 vs 540.1 ms/step at B=8 — the
+    #     (B, H, W, 9*Cin) stacked transient must be materialized for
+    #     the backward pass, and its HBM traffic beats the forward
+    #     saving. CT_LOCAL_IMPL overrides for experiments.
+    impl = os.environ.get("CT_LOCAL_IMPL", "") or \
+        ("taploop" if train else "fused")
     if impl == "taploop":
         # 9 thin K=Cin matmuls with an out-map accumulation between
         # each (the r1-r3 formulation; kept for A/B)

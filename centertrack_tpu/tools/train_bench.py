@@ -104,6 +104,9 @@ def run_leg(ann_path, img_dir, node, batch_size, iters, log=print,
             input_h=544, input_w=960):
     leg = {"node": node, "batch": batch_size, "remat": False,
            "input": f"{input_h}x{input_w}"}
+    impl = os.environ.get("CT_LOCAL_IMPL", "")
+    if impl and node.startswith("dcn_local"):
+        leg["local_impl"] = impl  # fused (default) vs taploop A/B
     cfg = build_cfg(ann_path, img_dir, node, batch_size,
                     input_h=input_h, input_w=input_w)
     batch = grab_batch(cfg, batch_size)
@@ -155,7 +158,8 @@ def main(argv=None):
             payload["legs"] = json.load(f).get("legs", [])
 
     def put(leg):
-        k = lambda l: (l["node"], l["batch"], l.get("input", "544x960"))
+        k = lambda l: (l["node"], l["batch"], l.get("input", "544x960"),
+                       l.get("local_impl", ""))
         payload["legs"] = [l for l in payload["legs"]
                            if k(l) != k(leg)] + [leg]
 

@@ -81,6 +81,36 @@ def test_local_matches_gather_within_clamp():
                                atol=1e-3, rtol=1e-4)
 
 
+def test_local_taploop_matches_fused():
+    """The taploop (training default — lighter backward transients) and
+    fused (inference default — one K=9*Cin MXU matmul) schedules of the
+    clamped DCN are the same contraction and must agree, values and
+    offset gradients."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 9, 11, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(6).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-3, 3, (2, 9, 11, 18)).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 9, 11, 9).astype(np.float32))
+    fused = dcn.deform_conv2d_local(x, offset, mask, w, bias,
+                                    max_offset=2, train=False)
+    taploop = dcn.deform_conv2d_local(x, offset, mask, w, bias,
+                                      max_offset=2, train=True)
+    np.testing.assert_allclose(np.asarray(taploop), np.asarray(fused),
+                               atol=1e-4, rtol=1e-5)
+
+    def loss(off, train):
+        return (dcn.deform_conv2d_local(x, off, mask, w, bias,
+                                        max_offset=2,
+                                        train=train) ** 2).sum()
+
+    g_f = jax.grad(lambda o: loss(o, False))(offset)
+    g_t = jax.grad(lambda o: loss(o, True))(offset)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_f),
+                               atol=1e-2, rtol=1e-4)
+
+
 def test_local_clamps_large_offsets():
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
