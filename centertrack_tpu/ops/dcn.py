@@ -398,17 +398,65 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
         return sampled * m[..., None].astype(x.dtype)
 
     import os
-    # Two equivalent contractions (bit-identical math, different
-    # schedules). A/B on v5e, dla_34 544x960 (docs/train_bench.json +
-    # docs/dcn_exact_impl_ab.json):
-    #   - fused (one K=9*Cin matmul) wins INFERENCE (fewer out-map
-    #     accumulation passes),
+    # Three equivalent contractions (same math, different schedules).
+    # A/B on v5e, dla_34 544x960 (docs/train_bench.json +
+    # docs/dcn_levelbench.json):
+    #   - fused (one K=9*Cin matmul) wins INFERENCE at Cout >= Cin
+    #     (fewer out-map accumulation passes),
+    #   - premul (contract FIRST, shift-FMA on Cout channels) wins
+    #     INFERENCE at Cout < Cin: the 81 hat-term shifted reads are
+    #     the dominant HBM traffic of this op, and they shrink by
+    #     Cin/Cout,
     #   - taploop wins TRAINING: 376.5 vs 540.1 ms/step at B=8 — the
     #     (B, H, W, 9*Cin) stacked transient must be materialized for
     #     the backward pass, and its HBM traffic beats the forward
     #     saving. CT_LOCAL_IMPL overrides for experiments.
+    # inference default: measured per-shape on v5e at the dla_34 neck
+    # shapes (/tmp-protocol in tools/dcn_levelbench.py, results in
+    # docs/dcn_premul_ab.json): premul wins the channel-halving
+    # modules (128->64 by ~20%) and the big stride-4 64->64 level;
+    # fused wins 128->128; the stride-16/32 shapes are at the
+    # dispatch-noise floor either way.
+    use_premul = cout < cin or cin == cout == 64
     impl = os.environ.get("CT_LOCAL_IMPL", "") or \
-        ("taploop" if train else "fused")
+        ("taploop" if train else ("premul" if use_premul else "fused"))
+    if impl == "premul":
+        # Transform-first: bilinear sampling is linear in the input and
+        # the (Cin, Cout) tap weight applies AT the sampled location,
+        # so the matmul commutes with sampling:
+        #     W_t^T sample(x, p + t + d) = sample(x @ W_t, p + t + d)
+        # (zero-padding also commutes: 0 @ W_t = 0). One K=Cin matmul
+        # produces all 9 per-tap transformed maps z_t, then the
+        # shift-FMA runs on Cout channels instead of Cin.
+        z = jnp.einsum("bhwc,tcd->bhwtd", x,
+                       weight.reshape(9, cin, cout),
+                       preferred_element_type=x.dtype)
+        zp = jnp.pad(z, ((0, 0), (pad, pad), (pad, pad), (0, 0),
+                         (0, 0)))
+        out = jnp.zeros((b, h, w, cout), dtype=jnp.float32)
+        for i in range(3):
+            for j in range(3):
+                t = i * 3 + j
+                ty, tx = i - 1, j - 1
+                dy = jnp.clip(offset[..., 2 * t], -r, r)
+                dx = jnp.clip(offset[..., 2 * t + 1], -r, r)
+                m = mask[..., t]
+                acc = jnp.zeros((b, h, w, cout), dtype=x.dtype)
+                for a in range(ty - r, ty + r + 1):
+                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty + dy - a))
+                    for bb in range(tx - r, tx + r + 1):
+                        wx = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(tx + dx - bb))
+                        zs = jax.lax.dynamic_slice(
+                            zp, (0, pad + a, pad + bb, t, 0),
+                            (b, h, w, 1, cout))[..., 0, :]
+                        acc = acc + zs * (wy * wx)[..., None].astype(
+                            x.dtype)
+                out = out + (acc * m[..., None].astype(x.dtype)
+                             ).astype(jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
     if impl == "taploop":
         # 9 thin K=Cin matmuls with an out-map accumulation between
         # each (the r1-r3 formulation; kept for A/B)

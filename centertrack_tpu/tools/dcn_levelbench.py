@@ -40,6 +40,19 @@ SHAPES = [
 ]
 
 
+def _with_impl(impl, fn, *args, **kwargs):
+    import os
+    prev = os.environ.get("CT_LOCAL_IMPL")
+    os.environ["CT_LOCAL_IMPL"] = impl
+    try:
+        return fn(*args, **kwargs)
+    finally:
+        if prev is None:
+            os.environ.pop("CT_LOCAL_IMPL", None)
+        else:
+            os.environ["CT_LOCAL_IMPL"] = prev
+
+
 def timeit(fn, *args, iters=50):
     out = fn(*args)
     np.asarray(out[0, 0, 0])
@@ -77,6 +90,12 @@ def main():
             "exact_onehot": jax.jit(_deform_conv2d_onehot),
             "local_r1": jax.jit(
                 lambda *a: deform_conv2d_local(*a, max_offset=1)),
+            "local_r1_premul": jax.jit(
+                lambda *a: _with_impl(
+                    "premul", deform_conv2d_local, *a, max_offset=1)),
+            "local_r1_fused": jax.jit(
+                lambda *a: _with_impl(
+                    "fused", deform_conv2d_local, *a, max_offset=1)),
             "local_r2": jax.jit(
                 lambda *a: deform_conv2d_local(*a, max_offset=2)),
             "local_r3": jax.jit(

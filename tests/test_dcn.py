@@ -111,6 +111,43 @@ def test_local_taploop_matches_fused():
                                atol=1e-2, rtol=1e-4)
 
 
+def test_local_premul_matches_fused():
+    """The premul schedule (contract-first; inference default when
+    Cout < Cin — the 81 hat-term shifted reads shrink by Cin/Cout) is
+    the same contraction as fused: sampling is linear, so the tap
+    matmul commutes with bilinear sampling."""
+    import os
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 9, 11, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(4).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-3, 3, (2, 9, 11, 18)).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 9, 11, 9).astype(np.float32))
+
+    def with_impl(impl):
+        prev = os.environ.get("CT_LOCAL_IMPL")
+        os.environ["CT_LOCAL_IMPL"] = impl
+        try:
+            return dcn.deform_conv2d_local(x, offset, mask, w, bias,
+                                           max_offset=2)
+        finally:
+            if prev is None:
+                os.environ.pop("CT_LOCAL_IMPL", None)
+            else:
+                os.environ["CT_LOCAL_IMPL"] = prev
+
+    fused = with_impl("fused")
+    premul = with_impl("premul")
+    np.testing.assert_allclose(np.asarray(premul), np.asarray(fused),
+                               atol=1e-4, rtol=1e-4)
+    # cout(4) < cin(8): the inference default must pick premul
+    default = dcn.deform_conv2d_local(x, offset, mask, w, bias,
+                                      max_offset=2, train=False)
+    np.testing.assert_array_equal(np.asarray(default),
+                                  np.asarray(premul))
+
+
 def test_local_clamps_large_offsets():
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
