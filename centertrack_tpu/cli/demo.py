@@ -28,12 +28,16 @@ IMAGE_EXT = ["jpg", "jpeg", "png", "webp"]
 class _FusedRunner:
     """Adapts FusedDetector to the demo loop's Detector.run contract;
     materializes results with one frame of lag so readback overlaps
-    the next frame's compute."""
+    the next frame's compute. The returned dict carries the ABSOLUTE
+    1-based index of the frame the results belong to ('frame', None
+    while the pipeline is still filling); the last frame's results
+    arrive via flush()."""
 
     def __init__(self, fused, cfg):
         self.fused = fused
         self.cfg = cfg
         self._pending = None
+        self.emitted = 0  # frames whose results have been returned
 
     def run(self, img, meta=None):
         import time
@@ -42,11 +46,28 @@ class _FusedRunner:
         lazy = self.fused.run(img)
         prev = self._pending
         self._pending = lazy
-        results = (FusedDetector.fetch(prev, self.cfg.out_thresh)
-                   if prev is not None else [])
-        return {"results": results, "tot": time.time() - t0,
+        if prev is not None:
+            self.emitted += 1
+            results = FusedDetector.fetch(prev, self.cfg.out_thresh)
+            frame = self.emitted
+        else:
+            results, frame = [], None
+        return {"results": results, "frame": frame,
+                "tot": time.time() - t0,
                 "pre": 0.0, "net": time.time() - t0, "post": 0.0,
                 "track": 0.0}
+
+    def flush(self):
+        """Drain the in-flight frame at end of stream; returns
+        {absolute_frame_index: result_list}."""
+        from centertrack_tpu.engine.fused import FusedDetector
+        out = {}
+        if self._pending is not None:
+            self.emitted += 1
+            out[self.emitted] = FusedDetector.fetch(
+                self._pending, self.cfg.out_thresh)
+            self._pending = None
+        return out
 
 
 class _ChunkRunner:
@@ -54,7 +75,11 @@ class _ChunkRunner:
     frames, advances them all in ONE device dispatch (lax.scan over
     time), and hands results back per frame with up to 2F-1 frames of
     lag — the throughput serving mode for offline video (the per-frame
-    --fused mode is the latency mode)."""
+    --fused mode is the latency mode). Each returned result carries the
+    ABSOLUTE 1-based index of the frame it belongs to ('frame', None
+    while the pipeline is still filling), so the demo loop attributes
+    lagged results to the right frame instead of the frame currently
+    being captured."""
 
     def __init__(self, fused, cfg, chunk):
         self.fused = fused
@@ -83,15 +108,17 @@ class _ChunkRunner:
         if self._ready:
             results = self._ready.pop(0)
             self.emitted += 1
+            frame = self.emitted
         else:
-            results = []
+            results, frame = [], None
         dt = time.time() - t0
-        return {"results": results, "tot": dt, "pre": 0.0, "net": dt,
-                "post": 0.0, "track": 0.0}
+        return {"results": results, "frame": frame, "tot": dt,
+                "pre": 0.0, "net": dt, "post": 0.0, "track": 0.0}
 
     def flush(self):
         """Drain buffered + in-flight frames at end of stream; returns
-        the remaining per-frame result lists in order."""
+        {absolute_frame_index: result_list} for every not-yet-emitted
+        frame."""
         from centertrack_tpu.engine.fused import FusedDetector
         if self._buf:
             self._dispatch()
@@ -99,7 +126,11 @@ class _ChunkRunner:
             self._ready.extend(FusedDetector.fetch_chunk(
                 self._pending, self.cfg.out_thresh))
             self._pending = None
-        out, self._ready = self._ready, []
+        out = {}
+        for res in self._ready:
+            self.emitted += 1
+            out[self.emitted] = res
+        self._ready = []
         return out
 
 
@@ -165,7 +196,11 @@ def demo(cfg, args):
             img = cv2.imread(frames[cnt])
         cnt += 1
         ret = detector.run(img)
-        results[cnt] = ret["results"]
+        # lagged engines (--fused/--chunk) report which frame the
+        # results belong to; the host Detector's results are current
+        frame_idx = ret.get("frame", cnt)
+        if frame_idx is not None:
+            results[frame_idx] = ret["results"]
         timing.append(ret["tot"])
         line = f"frame {cnt} |" + "".join(
             f" {k} {ret[k]:.3f}s" for k in
@@ -182,11 +217,9 @@ def demo(cfg, args):
         if cfg.num_iters > 0 and cnt >= cfg.num_iters:
             break
     if hasattr(detector, "flush"):
-        # chunk mode: trailing frames' results are still buffered /
-        # in flight; attribute them to their frame indices in order
-        tail = detector.flush()
-        for i, res in enumerate(tail):
-            results[detector.emitted + i + 1] = res
+        # lagged engines: trailing frames' results are still buffered /
+        # in flight; flush() keys them by absolute frame index
+        results.update(detector.flush())
     if writer is not None:
         writer.release()
     if args.save_results:
@@ -205,18 +238,7 @@ def demo(cfg, args):
 
 
 def main():
-    import sys as _sys
-    extra = "--fused" in _sys.argv
-    if extra:
-        _sys.argv.remove("--fused")
-    chunk = 0
-    if "--chunk" in _sys.argv:
-        i = _sys.argv.index("--chunk")
-        chunk = int(_sys.argv[i + 1])
-        del _sys.argv[i:i + 2]
     cfg, args = parse_demo()
-    args.fused = extra
-    args.chunk = chunk
     if args.demo == "":
         print("usage: demo.py <task> --demo <path>")
         sys.exit(1)

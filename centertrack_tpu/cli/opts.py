@@ -37,6 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="evaluate N videos concurrently through one batched "
              "device program (MultiStreamDetector); tracking tasks "
              "only, incompatible with --load_results/--public_det")
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="demo: zero-host-sync FusedDetector engine (latency "
+             "mode; results lag one frame)")
+    parser.add_argument(
+        "--chunk", type=int, default=0,
+        help="demo: run_chunk throughput mode — one lax.scan dispatch "
+             "per F frames; results lag up to 2F-1 frames")
     for f in dataclasses.fields(Config):
         if f.name in _DERIVED or f.name == "task":
             continue

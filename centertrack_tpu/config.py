@@ -63,6 +63,16 @@ class Config:
     # --- model -----------------------------------------------------------
     arch: str = "dla_34"
     dla_node: str = "dcn"          # dcn|dcn_mix|dcn_local|dcn_local1|gcn|conv
+    # schedule of the clamped-DCN op (dla_node dcn_local*/dcn_mix fine
+    # levels): 'auto' (default) mode-switches — taploop for training
+    # (the stacked transient's backward HBM traffic beats the forward
+    # saving), premul/fused for inference (premul when Cout<Cin or
+    # Cout=Cin=64, else fused; measured docs/dcn_premul_ab.json).
+    # Explicit 'taploop'|'premul'|'fused' forces one schedule for BOTH
+    # train and inference. The CT_LOCAL_IMPL env var still overrides
+    # everything (experiment escape hatch). All schedules compute the
+    # same math (tests/test_dcn.py equivalence suite).
+    local_impl: str = "auto"
     head_conv: int = -1            # -1 => 256 for dla, 64 otherwise
     num_head_conv: int = 1
     head_kernel: int = 3

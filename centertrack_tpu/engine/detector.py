@@ -82,6 +82,8 @@ class Detector:
     def __init__(self, cfg, params=None, batch_stats=None,
                  dataset_meta=None):
         self.cfg = cfg
+        from centertrack_tpu.ops.dcn import set_local_impl
+        set_local_impl(getattr(cfg, "local_impl", "auto"))
         if dataset_meta is None:
             from centertrack_tpu.data.registry import get_dataset_meta
             dataset_meta = get_dataset_meta(cfg.dataset, cfg)

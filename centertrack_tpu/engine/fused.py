@@ -54,6 +54,8 @@ class FusedDetector:
                  dataset_meta=None):
         assert cfg.tracking, "FusedDetector is for tracking tasks"
         self.cfg = cfg
+        from centertrack_tpu.ops.dcn import set_local_impl
+        set_local_impl(getattr(cfg, "local_impl", "auto"))
         if dataset_meta is None:
             from centertrack_tpu.data.registry import get_dataset_meta
             dataset_meta = get_dataset_meta(cfg.dataset, cfg)
@@ -348,6 +350,8 @@ class MultiStreamDetector:
                  dataset_meta=None):
         assert cfg.tracking, "MultiStreamDetector is for tracking tasks"
         self.cfg = cfg
+        from centertrack_tpu.ops.dcn import set_local_impl
+        set_local_impl(getattr(cfg, "local_impl", "auto"))
         self.streams = int(streams)
         if dataset_meta is None:
             from centertrack_tpu.data.registry import get_dataset_meta

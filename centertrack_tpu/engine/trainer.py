@@ -64,6 +64,8 @@ class Trainer:
     def __init__(self, cfg, model, params, batch_stats, mesh=None,
                  dataset_meta=None, debug_dir: str = ""):
         self.cfg = cfg
+        from centertrack_tpu.ops.dcn import set_local_impl
+        set_local_impl(getattr(cfg, "local_impl", "auto"))
         self.model = model
         self.dataset_meta = dataset_meta
         self.debug_dir = debug_dir or "exp_debug"

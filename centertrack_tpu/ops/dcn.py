@@ -25,8 +25,41 @@ transparently (see centertrack_tpu/ops/dcn_pallas.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Process-level default for the clamped-DCN schedule, set from
+# Config.local_impl by the engines/trainer at construction (jitted
+# programs close over the choice at trace time). Resolution order:
+# CT_LOCAL_IMPL env var (experiment escape hatch) > this default
+# (when not 'auto') > the measured mode-switch heuristic.
+_LOCAL_IMPL_DEFAULT = "auto"
+_LOCAL_IMPLS = ("auto", "taploop", "premul", "fused")
+
+
+def set_local_impl(impl: str) -> None:
+    """Install Config.local_impl as the process default schedule for
+    `deform_conv2d_local` (see Config.local_impl docs)."""
+    global _LOCAL_IMPL_DEFAULT
+    impl = impl or "auto"
+    if impl not in _LOCAL_IMPLS:
+        raise ValueError(
+            f"local_impl must be one of {_LOCAL_IMPLS}, got {impl!r}")
+    _LOCAL_IMPL_DEFAULT = impl
+
+
+def resolve_local_impl(train: bool, cin: int, cout: int) -> str:
+    """The schedule `deform_conv2d_local` will run, after the env var,
+    the Config-installed default, and the auto heuristic."""
+    env = os.environ.get("CT_LOCAL_IMPL", "")
+    if env:
+        return env
+    if _LOCAL_IMPL_DEFAULT != "auto":
+        return _LOCAL_IMPL_DEFAULT
+    use_premul = cout < cin or cin == cout == 64
+    return "taploop" if train else ("premul" if use_premul else "fused")
 
 
 def bilinear_sample(x: jnp.ndarray, py: jnp.ndarray,
@@ -397,7 +430,6 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
                     wgt[..., None].astype(x.dtype)
         return sampled * m[..., None].astype(x.dtype)
 
-    import os
     # Three equivalent contractions (same math, different schedules).
     # A/B on v5e, dla_34 544x960 (docs/train_bench.json +
     # docs/dcn_levelbench.json):
@@ -410,16 +442,14 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
     #   - taploop wins TRAINING: 376.5 vs 540.1 ms/step at B=8 — the
     #     (B, H, W, 9*Cin) stacked transient must be materialized for
     #     the backward pass, and its HBM traffic beats the forward
-    #     saving. CT_LOCAL_IMPL overrides for experiments.
+    #     saving. Config.local_impl / CT_LOCAL_IMPL override.
     # inference default: measured per-shape on v5e at the dla_34 neck
     # shapes (/tmp-protocol in tools/dcn_levelbench.py, results in
     # docs/dcn_premul_ab.json): premul wins the channel-halving
     # modules (128->64 by ~20%) and the big stride-4 64->64 level;
     # fused wins 128->128; the stride-16/32 shapes are at the
     # dispatch-noise floor either way.
-    use_premul = cout < cin or cin == cout == 64
-    impl = os.environ.get("CT_LOCAL_IMPL", "") or \
-        ("taploop" if train else ("premul" if use_premul else "fused"))
+    impl = resolve_local_impl(train, cin, cout)
     if impl == "premul":
         # Transform-first: bilinear sampling is linear in the input and
         # the (Cin, Cout) tap weight applies AT the sampled location,
@@ -428,9 +458,13 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
         # (zero-padding also commutes: 0 @ W_t = 0). One K=Cin matmul
         # produces all 9 per-tap transformed maps z_t, then the
         # shift-FMA runs on Cout channels instead of Cin.
+        # fp32 accumulation even for bf16 features (the fused path
+        # accumulates its contraction in fp32 too; the padded transient
+        # is cast back to x.dtype so HBM traffic is unchanged)
         z = jnp.einsum("bhwc,tcd->bhwtd", x,
                        weight.reshape(9, cin, cout),
-                       preferred_element_type=x.dtype)
+                       preferred_element_type=jnp.float32
+                       ).astype(x.dtype)
         zp = jnp.pad(z, ((0, 0), (pad, pad), (pad, pad), (0, 0),
                          (0, 0)))
         out = jnp.zeros((b, h, w, cout), dtype=jnp.float32)

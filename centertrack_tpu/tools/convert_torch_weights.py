@@ -612,8 +612,17 @@ def invert_to_torch(params, batch_stats, template_sd, convert_fn):
     for name, shp in shapes.items():
         lo, hi = spans[name]
         vals = flat[lo:hi]
-        if np.isnan(vals).any():  # untouched by the converter
+        nan = np.isnan(vals)
+        if nan.all():  # fully untouched by the converter
             out[name] = np.asarray(template_sd[name])
+        elif nan.any():
+            # partially consumed: silently reverting to template would
+            # hand the parity comparison random-init values for the
+            # consumed slice — fail loudly instead
+            raise ValueError(
+                f"invert_to_torch: {name} is only partially covered by "
+                f"the converter ({int(nan.sum())}/{vals.size} elements "
+                f"untouched); cannot invert faithfully")
         else:
             t = np.asarray(template_sd[name])
             out[name] = vals.reshape(shp).astype(

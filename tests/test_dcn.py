@@ -147,6 +147,75 @@ def test_local_premul_matches_fused():
     np.testing.assert_array_equal(np.asarray(default),
                                   np.asarray(premul))
 
+    # bf16 (the serving dtype on the largest feature maps): both
+    # schedules accumulate their contraction in fp32, so they must
+    # agree to bf16 rounding of the transients, not drift apart
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    bb = bias.astype(jnp.bfloat16)
+    ob = offset.astype(jnp.bfloat16)
+    mb = mask.astype(jnp.bfloat16)
+
+    def with_impl_b(impl):
+        prev = os.environ.get("CT_LOCAL_IMPL")
+        os.environ["CT_LOCAL_IMPL"] = impl
+        try:
+            return dcn.deform_conv2d_local(xb, ob, mb, wb, bb,
+                                           max_offset=2)
+        finally:
+            if prev is None:
+                os.environ.pop("CT_LOCAL_IMPL", None)
+            else:
+                os.environ["CT_LOCAL_IMPL"] = prev
+
+    fused_b = np.asarray(with_impl_b("fused"), np.float32)
+    premul_b = np.asarray(with_impl_b("premul"), np.float32)
+    np.testing.assert_allclose(premul_b, fused_b, atol=0.05, rtol=0.03)
+    # and both stay close to the fp32 reference
+    np.testing.assert_allclose(premul_b, np.asarray(fused),
+                               atol=0.15, rtol=0.05)
+
+
+def test_local_impl_config_resolution():
+    """Config.local_impl is the flag-visible schedule selector
+    (promoted from the CT_LOCAL_IMPL shadow env var); the env var
+    stays as the top-priority experiment override."""
+    import os
+    prev = os.environ.pop("CT_LOCAL_IMPL", None)
+    try:
+        # auto: mode-switch heuristic
+        dcn.set_local_impl("auto")
+        assert dcn.resolve_local_impl(True, 64, 64) == "taploop"
+        assert dcn.resolve_local_impl(False, 64, 64) == "premul"
+        assert dcn.resolve_local_impl(False, 128, 64) == "premul"
+        assert dcn.resolve_local_impl(False, 128, 128) == "fused"
+        # explicit config choice applies to both train and inference
+        dcn.set_local_impl("taploop")
+        assert dcn.resolve_local_impl(False, 128, 128) == "taploop"
+        assert dcn.resolve_local_impl(True, 64, 64) == "taploop"
+        # env var overrides the config default
+        os.environ["CT_LOCAL_IMPL"] = "fused"
+        assert dcn.resolve_local_impl(True, 64, 64) == "fused"
+        os.environ.pop("CT_LOCAL_IMPL")
+        # engines install the config value at construction
+        from centertrack_tpu.config import Config
+        import dataclasses
+        assert any(f.name == "local_impl"
+                   for f in dataclasses.fields(Config))
+        # CLI auto-bridge exposes it as --local_impl
+        from centertrack_tpu.cli.opts import build_parser
+        args = build_parser().parse_args(
+            ["tracking", "--local_impl", "premul"])
+        assert args.local_impl == "premul"
+        # invalid values fail loudly
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            dcn.set_local_impl("bogus")
+    finally:
+        dcn.set_local_impl("auto")
+        if prev is not None:
+            os.environ["CT_LOCAL_IMPL"] = prev
+
 
 def test_local_clamps_large_offsets():
     rng = np.random.RandomState(4)
