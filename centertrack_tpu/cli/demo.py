@@ -41,14 +41,13 @@ class _FusedRunner:
 
     def run(self, img, meta=None):
         import time
-        from centertrack_tpu.engine.fused import FusedDetector
         t0 = time.time()
         lazy = self.fused.run(img)
         prev = self._pending
         self._pending = lazy
         if prev is not None:
             self.emitted += 1
-            results = FusedDetector.fetch(prev, self.cfg.out_thresh)
+            results = self.fused.fetch_full(prev, self.cfg.out_thresh)
             frame = self.emitted
         else:
             results, frame = [], None
@@ -60,11 +59,10 @@ class _FusedRunner:
     def flush(self):
         """Drain the in-flight frame at end of stream; returns
         {absolute_frame_index: result_list}."""
-        from centertrack_tpu.engine.fused import FusedDetector
         out = {}
         if self._pending is not None:
             self.emitted += 1
-            out[self.emitted] = FusedDetector.fetch(
+            out[self.emitted] = self.fused.fetch_full(
                 self._pending, self.cfg.out_thresh)
             self._pending = None
         return out
@@ -91,11 +89,10 @@ class _ChunkRunner:
         self.emitted = 0  # frames whose results run() has returned
 
     def _dispatch(self):
-        from centertrack_tpu.engine.fused import FusedDetector
         lazy = self.fused.run_chunk(np.stack(self._buf))
         self._buf = []
         if self._pending is not None:
-            self._ready.extend(FusedDetector.fetch_chunk(
+            self._ready.extend(self.fused.fetch_chunk_full(
                 self._pending, self.cfg.out_thresh))
         self._pending = lazy
 
@@ -119,11 +116,10 @@ class _ChunkRunner:
         """Drain buffered + in-flight frames at end of stream; returns
         {absolute_frame_index: result_list} for every not-yet-emitted
         frame."""
-        from centertrack_tpu.engine.fused import FusedDetector
         if self._buf:
             self._dispatch()
         if self._pending is not None:
-            self._ready.extend(FusedDetector.fetch_chunk(
+            self._ready.extend(self.fused.fetch_chunk_full(
                 self._pending, self.cfg.out_thresh))
             self._pending = None
         out = {}

@@ -22,6 +22,19 @@ only enqueues frames and *lazily* fetches per-frame result arrays, so
 frames pipeline at full hardware throughput and result readback
 overlaps the next frames' compute.
 
+Beyond 2D tracking, the packed result row extends per-task:
+  - ddd (tracking,ddd): the 3D lift runs ON DEVICE — alpha from the
+    8-bin rot head, amodal center, unprojection through the calib to
+    (loc, rot_y) (same math as engine/post_process.py:86-99 /
+    utils/ddd.py:71-89; reference: src/lib/utils/post_process.py:65-77)
+    — and dep/alpha/dim/loc/rot_y/amodel_ct ride the same single
+    packed transfer.
+  - multi_pose (tracking,multi_pose): hm_hp-snapped keypoints are
+    warped to image coordinates on device and packed (+kps_score).
+Use fetch_full()/fetch_chunk_full() to materialize the task-extended
+dicts; the static fetch()/fetch_chunk() parse the 2D-tracking prefix
+(columns 0-12), which is layout-stable across tasks.
+
 Private-detection tracking only (public-det mode and multi-scale stay
 on the host Detector).
 """
@@ -47,6 +60,67 @@ from centertrack_tpu.ops.warp import preprocess_frame
 def _affine_pts(pts: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """(N, 2) points through a 2x3 affine."""
     return pts @ m[:, :2].T + m[:, 2]
+
+
+def _extras_spec(cfg):
+    """Packed-row layout beyond the 13 base columns, derived from the
+    task's head dict: [(name, width), ...]. Mirrors the host
+    post-process's per-task output fields (engine/post_process.py)."""
+    heads = cfg.heads_dict
+    spec = []
+    if {"dep", "rot", "dim"} <= set(heads):
+        spec += [("dep", 1), ("alpha", 1), ("dim", 3), ("loc", 3),
+                 ("rot_y", 1), ("amodel_ct", 2)]
+    if "hps" in heads:
+        spec += [("hps", heads["hps"]), ("kps_score", 1)]
+    return spec
+
+
+def _device_extras(cfg, dets, bb, inv_trans_output, calib):
+    """Per-task extra result columns, computed on device inside the
+    jitted step. Returns a list of (K, w) fp32 arrays matching
+    _extras_spec(cfg). `dets` holds UNBATCHED (K, ...) decode outputs;
+    `bb` is the (K, 4) OUTPUT-GRID bbox (pre-warp); `calib` a (3, 4)
+    camera matrix in original-image coordinates."""
+    heads = cfg.heads_dict
+    cols = []
+    if {"dep", "rot", "dim"} <= set(heads):
+        dep = dets["dep"][:, 0].astype(jnp.float32)
+        rot = dets["rot"].astype(jnp.float32)
+        dim = dets["dim"].astype(jnp.float32)
+        # 8-bin rot -> alpha (engine/post_process.py:31-37;
+        # reference: post_process.py:12-19)
+        idx = rot[:, 1] > rot[:, 5]
+        alpha1 = jnp.arctan2(rot[:, 2], rot[:, 3]) - 0.5 * jnp.pi
+        alpha2 = jnp.arctan2(rot[:, 6], rot[:, 7]) + 0.5 * jnp.pi
+        alpha = jnp.where(idx, alpha1, alpha2)
+        # 3D lift at the amodal center when predicted, else bbox center
+        # (reference: post_process.py:65-77)
+        bbox_ct = (bb[:, 0:2] + bb[:, 2:4]) / 2
+        if "amodel_offset" in heads:
+            bbox_ct = bbox_ct + dets["amodel_offset"]
+        ct3d = _affine_pts(bbox_ct, inv_trans_output)
+        # unproject + yaw (utils/ddd.py:71-89, jnp re-expression)
+        z = dep - calib[2, 3]
+        x3 = (ct3d[:, 0] * dep - calib[0, 3] - calib[0, 2] * z) \
+            / calib[0, 0]
+        y3 = (ct3d[:, 1] * dep - calib[1, 3] - calib[1, 2] * z) \
+            / calib[1, 1] + dim[:, 0] / 2
+        rot_y = alpha + jnp.arctan2(ct3d[:, 0] - calib[0, 2],
+                                    calib[0, 0])
+        rot_y = jnp.where(rot_y > jnp.pi, rot_y - 2 * jnp.pi, rot_y)
+        rot_y = jnp.where(rot_y < -jnp.pi, rot_y + 2 * jnp.pi, rot_y)
+        cols += [dep[:, None], alpha[:, None], dim,
+                 jnp.stack([x3, y3, z], axis=1), rot_y[:, None], ct3d]
+    if "hps" in heads:
+        j2 = heads["hps"]
+        kps = dets["hps"].astype(jnp.float32)  # (K, 2J) grid coords
+        k = kps.shape[0]
+        kps_img = _affine_pts(kps.reshape(k * (j2 // 2), 2),
+                              inv_trans_output).reshape(k, j2)
+        cols += [kps_img, dets["kps_score"].astype(jnp.float32)
+                 [:, None]]
+    return cols
 
 
 class FusedDetector:
@@ -83,7 +157,37 @@ class FusedDetector:
         self._chunk = {}
         self._warp = {}
         self._trans = {}
+        # per-task extra packed columns (ddd 3D lift / pose keypoints)
+        self._extras = _extras_spec(cfg)
+        self.rest_focal_length = (dataset_meta.rest_focal_length
+                                  if cfg.test_focal_length < 0
+                                  else cfg.test_focal_length)
+        self._calib = None       # host (3,4) override, else default
+        self._calib_dev = {}     # device copies per frame shape
         self.reset_tracking()
+
+    def set_calib(self, calib):
+        """Install the camera matrix (3, 4) used by the on-device ddd
+        lift (original-image pixel coordinates). Without a call, the
+        reference's default calib is built from rest_focal_length and
+        the frame size (engine/detector.py:_get_default_calib)."""
+        self._calib = (None if calib is None
+                       else np.asarray(calib, np.float32).reshape(3, 4))
+        self._calib_dev = {}
+
+    def _calib_for(self, height, width):
+        key = (height, width)
+        dev = self._calib_dev.get(key)
+        if dev is None:
+            c = self._calib
+            if c is None:
+                f = float(self.rest_focal_length)
+                c = np.array([[f, 0, width / 2, 0],
+                              [0, f, height / 2, 0],
+                              [0, 0, 1, 0]], np.float32)
+            dev = jnp.asarray(c)
+            self._calib_dev[key] = dev
+        return dev
 
     def reset_tracking(self):
         self.track_state = dt.init_state(self.capacity)
@@ -103,7 +207,8 @@ class FusedDetector:
                                     axis_aligned=True)
 
         def one_frame(params, batch_stats, frame_u8, inv_trans_input,
-                      trans_input, inv_trans_output, pre_images, state):
+                      trans_input, inv_trans_output, calib, pre_images,
+                      state):
             images = warp(frame_u8, inv_trans_input)
 
             # ---- pre_hm from device track state --------------------
@@ -152,15 +257,20 @@ class FusedDetector:
             new_state, assoc = dt.step(
                 state, scores, clses, cts_img, tracking_img, bboxes_img,
                 cfg.out_thresh, cfg.new_thresh, cfg.max_age)
+            extras = _device_extras(
+                cfg, jax.tree_util.tree_map(lambda a: a[0], dets), bb,
+                inv_trans_output, calib)
             results = _pack_results(scores, clses, cts_img,
-                                    tracking_img, bboxes_img, assoc)
+                                    tracking_img, bboxes_img, assoc,
+                                    extras)
             return images, new_state, results
 
         step = jax.jit(one_frame)
 
         @jax.jit
         def chunk(params, batch_stats, frames_u8, inv_trans_input,
-                  trans_input, inv_trans_output, pre_images, state):
+                  trans_input, inv_trans_output, calib, pre_images,
+                  state):
             # lax.scan over the time axis: ONE dispatch RPC advances F
             # frames, carrying (pre_images, track_state) in HBM. Per
             # frame this runs the exact one_frame program — the win is
@@ -170,7 +280,8 @@ class FusedDetector:
                 pre_images, state = carry
                 images, new_state, results = one_frame(
                     params, batch_stats, frame_u8, inv_trans_input,
-                    trans_input, inv_trans_output, pre_images, state)
+                    trans_input, inv_trans_output, calib, pre_images,
+                    state)
                 return (images, new_state), results
 
             (pre_images, state), results = jax.lax.scan(
@@ -228,6 +339,7 @@ class FusedDetector:
         images, self.track_state, results = step(
             self.params, self.batch_stats, frame,
             inv_trans_input, trans_input, inv_trans_output,
+            self._calib_for(height, width),
             self.pre_images, self.track_state)
         self.pre_images = images
         try:
@@ -268,6 +380,7 @@ class FusedDetector:
         self.pre_images, self.track_state, results = chunk(
             self.params, self.batch_stats, frames,
             inv_trans_input, trans_input, inv_trans_output,
+            self._calib_for(height, width),
             self.pre_images, self.track_state)
         try:
             results.copy_to_host_async()
@@ -279,8 +392,9 @@ class FusedDetector:
     def fetch_chunk(results: jnp.ndarray,
                     out_thresh: float) -> List[List[Dict]]:
         """Materialize a run_chunk result into per-frame dict-lists
-        with ONE device->host transfer of the packed (F, K, 13) matrix
-        (per-frame fetches would cost F tunnel round trips)."""
+        with ONE device->host transfer of the packed (F, K, C) matrix
+        (per-frame fetches would cost F tunnel round trips). Parses the
+        2D-tracking columns only; use fetch_chunk_full for ddd/pose."""
         host = np.asarray(results)
         return [_fetch_one(host[f], out_thresh)
                 for f in range(len(host))]
@@ -289,42 +403,74 @@ class FusedDetector:
     def fetch(results: jnp.ndarray, out_thresh: float) -> List[Dict]:
         """Materialize lazy per-frame results into the host dict-list
         format the datasets' save_results expect. One np.asarray on the
-        packed (K, 13) matrix = ONE device->host transfer; a per-field
-        dict would cost 8 RPC round trips through the axon tunnel."""
+        packed (K, C) matrix = ONE device->host transfer; a per-field
+        dict would cost 8 RPC round trips through the axon tunnel.
+        Parses the 2D-tracking columns only; use fetch_full for the
+        task-extended dicts (ddd/pose)."""
         return _fetch_one(np.asarray(results), out_thresh)
+
+    def fetch_full(self, results: jnp.ndarray,
+                   out_thresh: float) -> List[Dict]:
+        """fetch() plus this task's extra fields (ddd: dep/alpha/dim/
+        loc/rot_y + amodal ct; pose: hps/kps_score) — same single
+        packed transfer, columns parsed by the engine's layout."""
+        return _fetch_one(np.asarray(results), out_thresh,
+                          self._extras)
+
+    def fetch_chunk_full(self, results: jnp.ndarray,
+                         out_thresh: float) -> List[List[Dict]]:
+        host = np.asarray(results)
+        return [_fetch_one(host[f], out_thresh, self._extras)
+                for f in range(len(host))]
 
 
 # Packed per-candidate result row (fp32): [score, class, ct_x, ct_y,
-# track_dx, track_dy, x1, y1, x2, y2, tracking_id, age, active].
-# fp32 holds ids/ages/classes exactly up to 2^24.
+# track_dx, track_dy, x1, y1, x2, y2, tracking_id, age, active], then
+# per-task extra columns (_extras_spec). fp32 holds ids/ages/classes
+# exactly up to 2^24.
 _PACK_COLS = 13
 
 
 def _pack_results(scores, clses, cts_img, tracking_img, bboxes_img,
-                  assoc):
+                  assoc, extras=()):
     f32 = lambda a: a.astype(jnp.float32)[..., None]
     return jnp.concatenate(
         [scores[..., None], f32(clses), cts_img, tracking_img,
          bboxes_img, f32(assoc["tracking_id"]), f32(assoc["age"]),
-         f32(assoc["active"])], axis=-1)
+         f32(assoc["active"])] + list(extras), axis=-1)
 
 
-def _fetch_one(packed: np.ndarray, out_thresh: float) -> List[Dict]:
+def _fetch_one(packed: np.ndarray, out_thresh: float,
+               extras=()) -> List[Dict]:
     # vectorized filter (not a sorted-prefix break): robust to any
     # future score-mutating step between decode and fetch breaking the
     # sort order. The K-row Python loop this replaces cost ~1 ms/frame
     # on the single host core — real fps at 60+ fps frame rates.
     keep = packed[(packed[:, 0] > out_thresh) & (packed[:, 10] > 0)]
-    return [{
-        "score": float(row[0]),
-        "class": int(row[1]),
-        "ct": row[2:4],
-        "tracking": row[4:6],
-        "bbox": row[6:10],
-        "tracking_id": int(row[10]),
-        "age": int(row[11]),
-        "active": int(row[12]),
-    } for row in keep]
+    out = []
+    for row in keep:
+        item = {
+            "score": float(row[0]),
+            "class": int(row[1]),
+            "ct": row[2:4],
+            "tracking": row[4:6],
+            "bbox": row[6:10],
+            "tracking_id": int(row[10]),
+            "age": int(row[11]),
+            "active": int(row[12]),
+        }
+        col = _PACK_COLS
+        for name, width in extras:
+            item[name] = (float(row[col]) if width == 1
+                          else row[col:col + width])
+            col += width
+        if "amodel_ct" in item:
+            # ddd dict contract: 'ct' is the amodal center in image
+            # coordinates (engine/post_process.py:92-94; reference:
+            # post_process.py:65-70)
+            item["ct"] = item.pop("amodel_ct")
+        out.append(item)
+    return out
 
 
 class MultiStreamDetector:
@@ -378,7 +524,35 @@ class MultiStreamDetector:
         self.capacity = cfg.max_tracks
         self._step = {}
         self._trans = {}
+        self._extras = _extras_spec(cfg)
+        self.rest_focal_length = (dataset_meta.rest_focal_length
+                                  if cfg.test_focal_length < 0
+                                  else cfg.test_focal_length)
+        self._calib = None       # one (3,4) camera for all streams
+        self._calib_dev = {}
         self.reset_tracking()
+
+    def set_calib(self, calib):
+        """Camera matrix for the on-device ddd lift, shared by all
+        streams (per-stream calib: run one FusedDetector each)."""
+        self._calib = (None if calib is None
+                       else np.asarray(calib, np.float32).reshape(3, 4))
+        self._calib_dev = {}
+
+    def _calib_for(self, height, width):
+        key = (height, width)
+        dev = self._calib_dev.get(key)
+        if dev is None:
+            c = self._calib
+            if c is None:
+                f = float(self.rest_focal_length)
+                c = np.array([[f, 0, width / 2, 0],
+                              [0, f, height / 2, 0],
+                              [0, 0, 1, 0]], np.float32)
+            dev = jnp.asarray(
+                np.broadcast_to(c, (self.streams, 3, 4)))
+            self._calib_dev[key] = dev
+        return dev
 
     # -- state management ---------------------------------------------
     def reset_tracking(self):
@@ -432,7 +606,7 @@ class MultiStreamDetector:
                 cfg.input_h, cfg.input_w, cts.astype(jnp.int32), radius,
                 jnp.ones_like(radius, jnp.float32), use_track)
 
-        def post_one(dets, inv_trans_output):
+        def post_one(dets, inv_trans_output, calib):
             scores = dets["scores"]
             clses = dets["clses"].astype(jnp.int32) + 1
             cts_out = dets["cts"]
@@ -443,7 +617,10 @@ class MultiStreamDetector:
             p1 = _affine_pts(bb[:, 0:2], inv_trans_output)
             p2 = _affine_pts(bb[:, 2:4], inv_trans_output)
             bboxes_img = jnp.concatenate([p1, p2], axis=1)
-            return scores, clses, cts_img, tracking_img, bboxes_img
+            extras = _device_extras(cfg, dets, bb, inv_trans_output,
+                                    calib)
+            return (scores, clses, cts_img, tracking_img, bboxes_img,
+                    tuple(extras))
 
         def assoc_one(state, scores, clses, cts_img, tracking_img,
                       bboxes_img):
@@ -453,8 +630,8 @@ class MultiStreamDetector:
 
         @jax.jit
         def step(params, batch_stats, frames_u8, inv_trans_input,
-                 trans_input, inv_trans_output, fresh, pre_images,
-                 state):
+                 trans_input, inv_trans_output, calib, fresh,
+                 pre_images, state):
             images = jax.vmap(warp_one)(frames_u8, inv_trans_input)
             # fresh streams condition on the current frame (the
             # single-stream engine does the same on its first frame)
@@ -470,12 +647,13 @@ class MultiStreamDetector:
             out = sigmoid_output(out, cfg.depth_scale)
             dets = generic_decode(out, k, cfg.num_classes,
                                   cfg.zero_tracking)
-            scores, clses, cts_img, tracking_img, bboxes_img = \
-                jax.vmap(post_one)(dets, inv_trans_output)
+            (scores, clses, cts_img, tracking_img, bboxes_img,
+             extras) = jax.vmap(post_one)(dets, inv_trans_output, calib)
             new_state, assoc = jax.vmap(assoc_one)(
                 state, scores, clses, cts_img, tracking_img, bboxes_img)
             results = _pack_results(scores, clses, cts_img,
-                                    tracking_img, bboxes_img, assoc)
+                                    tracking_img, bboxes_img, assoc,
+                                    extras)
             return images, new_state, results
 
         self._step[in_shape] = step
@@ -532,8 +710,8 @@ class MultiStreamDetector:
         images_w, self.track_state, results = step(
             self.params, self.batch_stats, frames,
             inv_trans_input_d, trans_input_d,
-            inv_trans_output_d, fresh, self.pre_images,
-            self.track_state)
+            inv_trans_output_d, self._calib_for(height, width), fresh,
+            self.pre_images, self.track_state)
         self.pre_images = images_w
         self._fresh = np.zeros_like(self._fresh)
         try:
@@ -553,8 +731,17 @@ class MultiStreamDetector:
     def fetch_all(results: jnp.ndarray,
                   out_thresh: float) -> List[List[Dict]]:
         """All streams' results with ONE device->host transfer of the
-        packed (S, K, 13) matrix (fetch_stream per stream would cost S
-        tunnel round trips)."""
+        packed (S, K, C) matrix (fetch_stream per stream would cost S
+        tunnel round trips). 2D-tracking columns only; use
+        fetch_all_full for ddd/pose."""
         host = np.asarray(results)
         return [_fetch_one(host[s], out_thresh)
+                for s in range(len(host))]
+
+    def fetch_all_full(self, results: jnp.ndarray,
+                       out_thresh: float) -> List[List[Dict]]:
+        """fetch_all plus this task's extra fields (see
+        FusedDetector.fetch_full)."""
+        host = np.asarray(results)
+        return [_fetch_one(host[s], out_thresh, self._extras)
                 for s in range(len(host))]

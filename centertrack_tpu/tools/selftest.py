@@ -23,12 +23,23 @@ import numpy as np
 
 
 def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
-                 seed=0, scale=1.0, max_objs=3):
+                 seed=0, scale=1.0, max_objs=3, hard=False):
     """`scale` multiplies object size/velocity/margins so larger frame
     sizes keep the same object scale AT NETWORK INPUT RESOLUTION as the
     96x160 default (e.g. scale=2 on 1920x1080 frames warped to 544x960
     input reproduces the default's 16-30 px input-pixel objects —
-    bench.py's honest-workload domain)."""
+    bench.py's honest-workload domain).
+
+    `hard=True` switches to the DISCRIMINATIVE tracking domain the
+    MOTA-parity harness uses (tests/parity_mota.py): 8-12 objects per
+    video with crossing trajectories drawn in fixed z-order (nearer
+    objects OCCLUDE — crossings force identity decisions), mid-sequence
+    track births and deaths (objects enter/leave during the clip),
+    and wide size/aspect/scale-drift variation. On this domain the
+    torch reference lands well below MOTA 1.0 (~0.6-0.85), so a small
+    |delta MOTA| between frameworks is meaningful evidence rather
+    than a ceiling effect — the regime the reference is judged in
+    (reference: readme/GETTING_STARTED.md:14-25, 66+ MOTA)."""
     img_dir = os.path.join(root, "images")
     os.makedirs(img_dir, exist_ok=True)
     images, annotations, videos = [], [], []
@@ -36,13 +47,36 @@ def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
     rng = np.random.RandomState(seed)
     for v in range(num_videos):
         videos.append({"id": v + 1, "file_name": f"video{v + 1}"})
-        n_obj = rng.randint(2, max_objs + 1)
-        pos = rng.uniform([10 * scale, 10 * scale],
-                          [width - 40 * scale, height - 30 * scale],
-                          (n_obj, 2))
-        vel = rng.uniform(-2.5 * scale, 2.5 * scale, (n_obj, 2))
-        size = rng.uniform([16 * scale, 12 * scale],
-                           [30 * scale, 22 * scale], (n_obj, 2))
+        if hard:
+            n_obj = rng.randint(8, 13)
+            pos = rng.uniform([2 * scale, 2 * scale],
+                              [width - 28 * scale, height - 20 * scale],
+                              (n_obj, 2))
+            # crossing paths: velocities biased to traverse the frame
+            vel = rng.uniform(-3.0 * scale, 3.0 * scale, (n_obj, 2))
+            size = rng.uniform([8 * scale, 7 * scale],
+                               [30 * scale, 24 * scale], (n_obj, 2))
+            # slow scale drift (approach/recede)
+            growth = rng.uniform(-0.015, 0.02, n_obj)
+            # births/deaths: ~half the tracks don't span the clip
+            t_in = np.where(rng.rand(n_obj) < 0.4,
+                            rng.randint(0, max(1, frames // 2), n_obj),
+                            0)
+            t_out = np.where(rng.rand(n_obj) < 0.4,
+                             rng.randint(frames // 2, frames, n_obj),
+                             frames)
+            t_out = np.maximum(t_out, t_in + 4)
+        else:
+            n_obj = rng.randint(2, max_objs + 1)
+            pos = rng.uniform([10 * scale, 10 * scale],
+                              [width - 40 * scale, height - 30 * scale],
+                              (n_obj, 2))
+            vel = rng.uniform(-2.5 * scale, 2.5 * scale, (n_obj, 2))
+            size = rng.uniform([16 * scale, 12 * scale],
+                               [30 * scale, 22 * scale], (n_obj, 2))
+            growth = np.zeros(n_obj)
+            t_in = np.zeros(n_obj, int)
+            t_out = np.full(n_obj, frames)
         colors = rng.randint(40, 220, (n_obj, 3))
         for f in range(frames):
             img_id += 1
@@ -53,9 +87,13 @@ def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
                 "id": img_id, "file_name": fn, "width": width,
                 "height": height, "video_id": v + 1, "frame_id": f + 1,
             })
+            # fixed z-order: later objects draw on top (occluders)
             for o in range(n_obj):
-                x, y = pos[o] + vel[o] * f
-                w, h = size[o]
+                if not (t_in[o] <= f < t_out[o]):
+                    continue
+                x, y = pos[o] + vel[o] * (f - t_in[o])
+                g = 1.0 + growth[o] * (f - t_in[o])
+                w, h = size[o] * g
                 x = float(np.clip(x, 0, width - w))
                 y = float(np.clip(y, 0, height - h))
                 cv2.rectangle(img, (int(x), int(y)),
@@ -81,16 +119,118 @@ def make_dataset(root, num_videos=6, frames=24, width=160, height=96,
     return ann_path, img_dir
 
 
+def make_dataset_ddd(root, num_videos=6, frames=24, width=1600,
+                     height=900, focal=1200.0, seed=0, max_objs=8):
+    """Synthetic monocular-3D tracking dataset (nuScenes-camera
+    geometry: 1600x900 frames, pinhole at the image center). Car-like
+    cuboids drive on the ground plane; each frame renders their
+    projected silhouettes painter's-order (far to near, so nearer
+    objects OCCLUDE), with the +l/2 'front' face brightened as the
+    orientation cue and a white dot at the projected 3D center.
+    Annotations carry the full ddd target set the dataset layer
+    consumes (data/generic.py:602-612): bbox, depth, dim, rotation_y,
+    alpha, amodel_center (reference fields:
+    src/lib/dataset/datasets/nuscenes.py:75-120)."""
+    from centertrack_tpu.utils.ddd import (compute_box_3d,
+                                           project_to_image,
+                                           rot_y2alpha)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    calib = np.array([[focal, 0, width / 2, 0],
+                      [0, focal, height / 2, 0],
+                      [0, 0, 1, 0]], np.float32)
+    images, annotations, videos = [], [], []
+    img_id = ann_id = 0
+    rng = np.random.RandomState(seed)
+    for v in range(num_videos):
+        videos.append({"id": v + 1, "file_name": f"video{v + 1}"})
+        n_obj = rng.randint(4, max_objs + 1)
+        # ground-plane states: x lateral [m], z forward [m], yaw
+        x = rng.uniform(-14, 14, n_obj)
+        z = rng.uniform(10, 45, n_obj)
+        yaw = rng.uniform(-np.pi, np.pi, n_obj)
+        vx = rng.uniform(-0.5, 0.5, n_obj)
+        vz = rng.uniform(-0.8, 0.8, n_obj)
+        dims = np.stack([rng.uniform(1.4, 1.8, n_obj),      # h
+                         rng.uniform(1.6, 2.0, n_obj),      # w
+                         rng.uniform(3.6, 4.8, n_obj)], 1)  # l
+        colors = rng.randint(40, 200, (n_obj, 3))
+        for f in range(frames):
+            img_id += 1
+            fn = f"v{v + 1}_f{f + 1}.jpg"
+            img = rng.randint(180, 220, (height, width, 3), np.uint8)
+            images.append({
+                "id": img_id, "file_name": fn, "width": width,
+                "height": height, "video_id": v + 1, "frame_id": f + 1,
+                "calib": calib.tolist(),
+            })
+            xf = x + vx * f
+            zf = np.clip(z + vz * f, 6.0, 60.0)
+            order = np.argsort(-zf)  # painter's: far first
+            for o in order:
+                loc = np.array([xf[o], 1.5, zf[o]], np.float32)
+                corners = compute_box_3d(dims[o], loc, yaw[o])
+                pts = project_to_image(corners, calib)
+                # full silhouette, then the front (+l/2) face cue
+                hull = cv2.convexHull(pts.astype(np.int32))
+                cv2.fillConvexPoly(
+                    img, hull, tuple(int(c) for c in colors[o]))
+                front = pts[[0, 1, 5, 4]].astype(np.int32)
+                cv2.fillConvexPoly(img, cv2.convexHull(front), tuple(
+                    int(min(255, c + 60)) for c in colors[o]))
+                # 3D box center (location is the bottom-face center,
+                # KITTI convention)
+                center3d = np.array(
+                    [loc[0], loc[1] - dims[o][0] / 2, loc[2]],
+                    np.float32)
+                amodel_ct = project_to_image(center3d[None], calib)[0]
+                ix = int(round(amodel_ct[0]))
+                iy = int(round(amodel_ct[1]))
+                if 0 <= ix < width and 0 <= iy < height:
+                    cv2.circle(img, (ix, iy), 4, (255, 255, 255), -1)
+                x1, y1 = pts.min(axis=0)
+                x2, y2 = pts.max(axis=0)
+                bx1 = float(np.clip(x1, 0, width - 1))
+                by1 = float(np.clip(y1, 0, height - 1))
+                bx2 = float(np.clip(x2, 0, width - 1))
+                by2 = float(np.clip(y2, 0, height - 1))
+                if bx2 - bx1 < 6 or by2 - by1 < 6:
+                    continue
+                ann_id += 1
+                annotations.append({
+                    "id": ann_id, "image_id": img_id, "category_id": 1,
+                    "bbox": [bx1, by1, bx2 - bx1, by2 - by1],
+                    "area": float((bx2 - bx1) * (by2 - by1)),
+                    "iscrowd": 0, "track_id": int(o) + 1,
+                    "depth": float(zf[o]),
+                    "dim": [float(d) for d in dims[o]],
+                    "rotation_y": float(yaw[o]),
+                    "alpha": float(rot_y2alpha(
+                        yaw[o], amodel_ct[0], calib[0, 2], calib[0, 0])),
+                    "amodel_center": [float(amodel_ct[0]),
+                                      float(amodel_ct[1])],
+                })
+            cv2.imwrite(os.path.join(img_dir, fn), img)
+    ann = {"images": images, "annotations": annotations,
+           "videos": videos,
+           "categories": [{"id": 1, "name": "car"}]}
+    ann_path = os.path.join(root, "annotations_ddd.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    return ann_path, img_dir
+
+
 def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
               compute_dtype: str = "float32", batch_size: int = 8,
               lr: float = 5e-4, epochs: int = 30, input_h: int = 96,
-              input_w: int = 160):
+              input_w: int = 160, task: str = "tracking",
+              num_classes: int = 1):
     from centertrack_tpu.config import Config, parse_task, set_heads
 
     cfg = Config(
-        task="tracking", dataset="custom", pre_hm=True,
+        task=task, dataset="custom", pre_hm=True,
         custom_dataset_ann_path=ann_path, custom_dataset_img_path=img_dir,
-        num_classes=1, input_h=input_h, input_w=input_w,
+        num_classes=num_classes, input_h=input_h, input_w=input_w,
         dla_node=dla_node, compute_dtype=compute_dtype,
         batch_size=batch_size, lr=lr,
         hm_disturb=0.05, lost_disturb=0.4, fp_disturb=0.1,

@@ -35,12 +35,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ---------------------------------------------------------------- domain
 
-def make_domain(root, num_videos=6, frames=24, seed=0):
-    """The selftest synthetic MOT domain (moving colored boxes)."""
+def make_domain(root, num_videos=6, frames=24, seed=0, hard=True):
+    """The DISCRIMINATIVE selftest MOT domain: 8-12 objects per video,
+    crossing trajectories with z-order occlusion, mid-sequence track
+    births/deaths, and scale/aspect drift — the reference lands at
+    ~0.6-0.85 MOTA here instead of saturating at 0.99, so |delta MOTA|
+    between frameworks measures real association behavior
+    (selftest.make_dataset(hard=True); VERDICT r4 item 5)."""
     from centertrack_tpu.tools.selftest import make_dataset
 
     return make_dataset(root, num_videos=num_videos, frames=frames,
-                        seed=seed)
+                        seed=seed, hard=hard)
 
 
 def _common_ref_args(ann_path, img_dir, node):
