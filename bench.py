@@ -66,6 +66,8 @@ def _contamination_probe():
                 continue
             with open(f"/proc/{pid}/cmdline") as f:
                 cmd = f.read().replace("\0", " ").strip()
+            if not cmd:
+                continue  # kernel thread (rcu etc.), not competing work
             busy.append(f"{pid}:{cmd[:80]}")
         except (OSError, IndexError):
             continue
@@ -208,6 +210,23 @@ def synth_frames_ddd(n=24):
     root = tempfile.mkdtemp(prefix="ct_benchddd_")
     ann_path, img_dir = make_dataset_ddd(root, num_videos=1, frames=n,
                                          seed=99)
+    import json as _json
+    with open(ann_path) as f:
+        db = _json.load(f)
+    ims = sorted(db["images"], key=lambda im: im["frame_id"])
+    return [cv2.imread(os.path.join(img_dir, im["file_name"]))
+            for im in ims]
+
+
+def synth_frames_pose(n=24):
+    """One synthetic mannequin clip (1280x720, the pose ckpt's training
+    domain, tools/selftest.make_dataset_pose) — held-out seed."""
+    import cv2
+    import tempfile
+    from centertrack_tpu.tools.selftest import make_dataset_pose
+    root = tempfile.mkdtemp(prefix="ct_benchpose_")
+    ann_path, img_dir = make_dataset_pose(root, num_videos=1, frames=n,
+                                          seed=99)
     import json as _json
     with open(ann_path) as f:
         db = _json.load(f)
@@ -377,7 +396,9 @@ def _secondary(out_path):
     # ---- pose serving (tracking,multi_pose @ 512x512) ---------------
     # vs the reference's 33 ms multi_pose dla_1x (MODEL_ZOO.md:72);
     # hm_hp top-K snap + keypoint warp run on device, keypoints ride
-    # the packed row.
+    # the packed row. Frames come from the pose ckpt's training
+    # domain (tools/selftest.make_dataset_pose, held-out seed) so the
+    # tracker carries live tracks through the timed loop.
     class PoseMeta:
         num_categories = 1
         default_resolution = [512, 512]
@@ -389,9 +410,10 @@ def _secondary(out_path):
     det, cfg, trained = build_detector(
         "dcn_local1", CKPT_POSE, task="tracking,multi_pose",
         meta=PoseMeta)
+    pose_frames = synth_frames_pose(24)
     fps, live = _guarded_leg(
         "pose",
-        lambda: timed_tracking(det, cfg, frames, iters=40,
+        lambda: timed_tracking(det, cfg, pose_frames, iters=40,
                                fetch="fetch_full"), payload)
     payload["pose_fps"] = round(fps, 2)
     payload["pose_live_tracks"] = round(live, 1)

@@ -65,14 +65,23 @@ class Config:
     dla_node: str = "dcn"          # dcn|dcn_mix|dcn_local|dcn_local1|gcn|conv
     # schedule of the clamped-DCN op (dla_node dcn_local*/dcn_mix fine
     # levels): 'auto' (default) mode-switches — taploop for training
-    # (the stacked transient's backward HBM traffic beats the forward
-    # saving), premul/fused for inference (premul when Cout<Cin or
-    # Cout=Cin=64, else fused; measured docs/dcn_premul_ab.json).
+    # AND batched (B>1) inference (the B-scaled padded transients of
+    # the other schedules collapse multi-stream serving,
+    # docs/dcn_ms_ab.json), premul/fused for B=1 inference (premul
+    # when Cout<Cin or Cout=Cin=64, else fused; measured
+    # docs/dcn_premul_ab.json).
     # Explicit 'taploop'|'premul'|'fused' forces one schedule for BOTH
     # train and inference. The CT_LOCAL_IMPL env var still overrides
     # everything (experiment escape hatch). All schedules compute the
     # same math (tests/test_dcn.py equivalence suite).
     local_impl: str = "auto"
+    # matmul precision of the separable input warp (ops/warp.py):
+    # 'auto' (default) uses one fast bf16 MXU pass when compute_dtype
+    # is bfloat16 (the net quantizes its input to ~2x the warp's bf16
+    # rounding at the first conv anyway; HIGHEST's 6-pass fp32
+    # emulation measured 3.6 ms of the 14.4 ms serving step) and
+    # pixel-exact HIGHEST otherwise; 'highest'|'default' force a mode.
+    warp_precision: str = "auto"
     head_conv: int = -1            # -1 => 256 for dla, 64 otherwise
     num_head_conv: int = 1
     head_kernel: int = 3
@@ -98,6 +107,13 @@ class Config:
     save_point: Tuple[int, ...] = (90,)
     num_epochs: int = 70
     batch_size: int = 32
+    # split each optimizer step into N sequential micro-batches of
+    # batch_size/N, accumulating fp32 gradients on device: effective
+    # batch sizes past the per-chip compile/memory envelope (e.g. the
+    # reference's MOT17 batch 32, readme/MODEL_ZOO.md:16-20) at the
+    # HBM footprint of batch_size/N. One optimizer update per step;
+    # BN stats advance once per micro-batch (same as torch would).
+    grad_accum: int = 1
     num_iters: int = -1
     val_intervals: int = 10000
     ltrb: bool = False

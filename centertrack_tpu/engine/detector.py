@@ -31,7 +31,7 @@ from centertrack_tpu.ops.affine import (affine_transform,
                                         get_affine_transform, invert_affine)
 from centertrack_tpu.ops.decode import generic_decode, sigmoid_output
 from centertrack_tpu.ops.gaussian import gaussian_radius, render_pre_hm
-from centertrack_tpu.ops.warp import preprocess_frame
+from centertrack_tpu.ops.warp import preprocess_frame, warp_precision_for
 
 
 def flip_merge(output: Dict[str, jnp.ndarray],
@@ -137,11 +137,14 @@ class Detector:
             std = jnp.asarray(self.std)
             flip_test = cfg.flip_test
 
+            wprec = warp_precision_for(cfg)
+
             @jax.jit
             def warp(frame_u8, inv_trans):
                 img = preprocess_frame(frame_u8, inv_trans, inp_height,
                                        inp_width, mean, std,
-                                       axis_aligned=True)
+                                       axis_aligned=True,
+                                       precision=wprec)
                 if flip_test:
                     img = jnp.concatenate(
                         [img, jnp.flip(img, axis=2)], axis=0)
@@ -176,7 +179,7 @@ class Detector:
                 hm = render_pre_hm(inp_height, inp_width, track_cts,
                                    track_radii,
                                    jnp.ones_like(track_radii, jnp.float32),
-                                   track_valid)[None]
+                                   track_valid, compact=True)[None]
                 if cfg.zero_pre_hm:
                     hm = hm * 0
                 if flip_test:

@@ -54,7 +54,7 @@ from centertrack_tpu.ops.affine import get_affine_transform, invert_affine
 from centertrack_tpu.ops.decode import generic_decode, sigmoid_output
 from centertrack_tpu.ops.gaussian import (gaussian_radius_jax,
                                           render_pre_hm)
-from centertrack_tpu.ops.warp import preprocess_frame
+from centertrack_tpu.ops.warp import preprocess_frame, warp_precision_for
 
 
 def _affine_pts(pts: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
@@ -200,11 +200,13 @@ class FusedDetector:
         mean, std = self.mean, self.std
         k = cfg.K
 
+        wprec = warp_precision_for(cfg)
+
         @jax.jit
         def warp(frame_u8, inv_trans):
             return preprocess_frame(frame_u8, inv_trans, cfg.input_h,
                                     cfg.input_w, mean, std,
-                                    axis_aligned=True)
+                                    axis_aligned=True, precision=wprec)
 
         def one_frame(params, batch_stats, frame_u8, inv_trans_input,
                       trans_input, inv_trans_output, calib, pre_images,
@@ -228,7 +230,8 @@ class FusedDetector:
             cts = jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2], axis=1)
             pre_hm = render_pre_hm(
                 cfg.input_h, cfg.input_w, cts.astype(jnp.int32), radius,
-                jnp.ones_like(radius, jnp.float32), use_track)[None]
+                jnp.ones_like(radius, jnp.float32), use_track,
+                compact=True)[None]
             if cfg.zero_pre_hm:
                 pre_hm = pre_hm * 0
 
@@ -582,10 +585,13 @@ class MultiStreamDetector:
         mean, std = self.mean, self.std
         k = cfg.K
 
+        wprec = warp_precision_for(cfg)
+
         def warp_one(frame_u8, inv_trans):
             return preprocess_frame(frame_u8, inv_trans, cfg.input_h,
                                     cfg.input_w, mean, std,
-                                    axis_aligned=True)[0]
+                                    axis_aligned=True,
+                                    precision=wprec)[0]
 
         def prehm_one(state, trans_input):
             use_track = (state.valid & (state.active > 0) &
@@ -604,7 +610,8 @@ class MultiStreamDetector:
             cts = jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2], axis=1)
             return render_pre_hm(
                 cfg.input_h, cfg.input_w, cts.astype(jnp.int32), radius,
-                jnp.ones_like(radius, jnp.float32), use_track)
+                jnp.ones_like(radius, jnp.float32), use_track,
+                compact=True)
 
         def post_one(dets, inv_trans_output, calib):
             scores = dets["scores"]

@@ -78,8 +78,14 @@ class Trainer:
                                 jnp.zeros((), jnp.int32))
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.lr_for_epoch = make_lr_schedule(cfg)
+        self.accum = max(1, int(getattr(cfg, "grad_accum", 1)))
         self._train_step = self._build_train_step()
         self._val_step = self._build_val_step()
+        if self.accum > 1:
+            self._grad_step = self._build_grad_step()
+            self._apply_step = self._build_apply_step()
+            self._grad_zeros = jax.jit(lambda p: jax.tree.map(
+                lambda a: jnp.zeros(a.shape, jnp.float32), p))
         self.loss_order = [k for k in
                            ["hm", "wh", "reg", "ltrb", "hps", "hm_hp",
                             "hp_offset", "dep", "dim", "rot",
@@ -135,6 +141,77 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0,))
 
+    # --- gradient accumulation (cfg.grad_accum > 1) -------------------
+    # Two small jitted programs instead of one big one: per-micro-batch
+    # grads summed in fp32 on device (HBM footprint = one micro-batch
+    # of activations + one fp32 grad tree), then a single optimizer
+    # update. This is the per-chip path past the remote-compile /
+    # memory envelope at 544x960 (B=16 monolithic fails, see
+    # docs/train_bench.json) up to the reference's effective batch 32
+    # (readme/MODEL_ZOO.md:16-20). Per-call dispatch (~0.3 ms) is noise
+    # against the ~190 ms micro-step.
+    def _build_grad_step(self):
+        accum = self.accum
+
+        def step(params, batch_stats, batch, gsum):
+            grad_fn = jax.value_and_grad(
+                lambda p: self._forward_loss(
+                    p, batch_stats, batch, True), has_aux=True)
+            (_, (losses, new_bs)), grads = grad_fn(params)
+            gsum = jax.tree.map(
+                lambda s, g: s + g.astype(jnp.float32) / accum,
+                gsum, grads)
+            return gsum, new_bs, losses
+
+        return jax.jit(step, donate_argnums=(3,))
+
+    def _build_apply_step(self):
+        tx = self.tx
+
+        def step(state: TrainState, grads, new_bs, lr):
+            g = jax.tree.map(lambda a, p: a.astype(p.dtype),
+                             grads, state.params)
+            opt_state = state.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, new_opt = tx.update(g, opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(new_params, new_bs, new_opt,
+                              state.step + 1)
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _train_step_accum(self, batch, lr):
+        """One optimizer step over `accum` sequential micro-batches.
+        `batch` is the full effective batch (host arrays, leading dim
+        batch_size); micro-batches are host slices so device HBM only
+        ever holds one. BN stats chain through the micro-steps."""
+        accum = self.accum
+        n = None
+        for v in batch.values():
+            if hasattr(v, "shape") and v.ndim > 0:
+                n = v.shape[0]
+                break
+        if n is None or n % accum != 0:
+            raise ValueError(
+                f"batch leading dim {n} not divisible by grad_accum "
+                f"{accum}")
+        m = n // accum
+        state = self.state
+        gsum = self._grad_zeros(state.params)
+        bs = state.batch_stats
+        agg = None
+        for i in range(accum):
+            mb = {k: (v[i * m:(i + 1) * m]
+                      if hasattr(v, "shape") and v.ndim > 0 else v)
+                  for k, v in batch.items()}
+            mb = shard_batch(mb, self.mesh)
+            gsum, bs, losses = self._grad_step(state.params, bs, mb,
+                                               gsum)
+            agg = losses if agg is None else jax.tree.map(
+                lambda a, b: a + b, agg, losses)
+        self.state = self._apply_step(state, gsum, bs, lr)
+        return {k: v / accum for k, v in agg.items()}
+
     def _build_val_step(self):
         def step(state: TrainState, batch):
             _, (losses, _) = self._forward_loss(
@@ -189,12 +266,17 @@ class Trainer:
         for it, batch in enumerate(loader):
             if num_iters > 0 and it >= num_iters:
                 break
-            batch = shard_batch(batch, self.mesh)
+            accum = self.accum if phase == "train" else 1
+            if accum == 1:
+                batch = shard_batch(batch, self.mesh)
             data_t += time.time() - t_prev
             ts = time.time()
             if phase == "train":
-                self.state, losses = self._train_step(
-                    self.state, batch, lr)
+                if accum > 1:
+                    losses = self._train_step_accum(batch, lr)
+                else:
+                    self.state, losses = self._train_step(
+                        self.state, batch, lr)
             else:
                 losses = self._val_step(self.state, batch)
             losses = {k: float(v) for k, v in losses.items()}

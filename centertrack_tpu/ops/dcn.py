@@ -50,16 +50,29 @@ def set_local_impl(impl: str) -> None:
     _LOCAL_IMPL_DEFAULT = impl
 
 
-def resolve_local_impl(train: bool, cin: int, cout: int) -> str:
+def resolve_local_impl(train: bool, cin: int, cout: int,
+                       batch: int = 1) -> str:
     """The schedule `deform_conv2d_local` will run, after the env var,
-    the Config-installed default, and the auto heuristic."""
+    the Config-installed default, and the auto heuristic.
+
+    The auto heuristic is batch-aware: the premul/fused inference
+    schedules materialize (B, H+2p, W+2p, [9,] C) padded transients,
+    which win at B=1 (docs/dcn_premul_ab.json) but scale with B and
+    collapse under multi-stream serving — measured on v5e at S=6,
+    dla_34 544x960 (docs/dcn_ms_ab.json): taploop 97.1 aggregate fps,
+    fused 90.7, premul 29.2. This was the r4 multi-stream regression
+    (96.6 -> 29.9 in BENCH_r04.json): the B=1-tuned default was applied
+    at B=6. Batched inference therefore uses taploop, like training.
+    """
     env = os.environ.get("CT_LOCAL_IMPL", "")
     if env:
         return env
     if _LOCAL_IMPL_DEFAULT != "auto":
         return _LOCAL_IMPL_DEFAULT
+    if train or batch > 1:
+        return "taploop"
     use_premul = cout < cin or cin == cout == 64
-    return "taploop" if train else ("premul" if use_premul else "fused")
+    return "premul" if use_premul else "fused"
 
 
 def bilinear_sample(x: jnp.ndarray, py: jnp.ndarray,
@@ -449,7 +462,7 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
     # modules (128->64 by ~20%) and the big stride-4 64->64 level;
     # fused wins 128->128; the stride-16/32 shapes are at the
     # dispatch-noise floor either way.
-    impl = resolve_local_impl(train, cin, cout)
+    impl = resolve_local_impl(train, cin, cout, batch=b)
     if impl == "premul":
         # Transform-first: bilinear sampling is linear in the input and
         # the (Cin, Cout) tap weight applies AT the sampled location,

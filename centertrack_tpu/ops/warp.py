@@ -66,7 +66,8 @@ def affine_warp(image: jnp.ndarray, inv_trans: jnp.ndarray,
 
 
 def affine_warp_separable(image: jnp.ndarray, inv_trans: jnp.ndarray,
-                          out_h: int, out_w: int) -> jnp.ndarray:
+                          out_h: int, out_w: int,
+                          precision=None) -> jnp.ndarray:
     """Bilinear warp for AXIS-ALIGNED affines (rot == 0) as two MXU
     matmuls with bilinear hat-weight matrices:
 
@@ -75,10 +76,20 @@ def affine_warp_separable(image: jnp.ndarray, inv_trans: jnp.ndarray,
     W_y[o, i] = max(0, 1 - |sy_o - i|) with sy_o = inv[1,1]*o + inv[1,2]
     — exactly bilinear interpolation with zero outside the image (rows
     beyond the border simply get no weight). The per-pixel gather
-    formulation (affine_warp) costs ~19 ms for 1080p -> 544x960 on TPU;
-    this runs in ~1 ms on the MXU.
+    formulation (affine_warp) costs ~19 ms for 1080p -> 544x960 on TPU.
+
+    ``precision``: None -> HIGHEST (pixel-exact vs the cv2/gather
+    bilinear reference; the default bf16 matmul mode costs ~0.5/255
+    absolute pixel error). HIGHEST emulates fp32 with 6 bf16 MXU
+    passes, which made this ~12.8 GFLOP prologue a measured 3.6 ms of
+    the 14.4 ms fused serving step (docs/stage_probe.json); a bf16
+    serving network quantizes its input to ~2x that error at the first
+    conv anyway, so serving engines pass DEFAULT via
+    Config.warp_precision='auto' and keep HIGHEST for fp32 parity runs.
     """
     h, w, c = image.shape
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     sy = inv_trans[1, 1] * ys + inv_trans[1, 2]
@@ -90,34 +101,54 @@ def affine_warp_separable(image: jnp.ndarray, inv_trans: jnp.ndarray,
         0.0, 1.0 - jnp.abs(sx[:, None] -
                            jnp.arange(w, dtype=jnp.float32)[None, :]))
     img_f = image.astype(jnp.float32)
-    # HIGHEST precision: the default bf16 matmul precision on TPU costs
-    # ~0.5/255 absolute error on pixel values — visible drift vs the
-    # cv2/gather bilinear reference.
     tmp = jnp.einsum("oh,hwc->owc", wy, img_f,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=precision)
     out = jnp.einsum("pw,owc->opc", wx, tmp,
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=precision)
     return out
 
 
 def preprocess_frame(frame_u8: jnp.ndarray, inv_trans: jnp.ndarray,
                      out_h: int, out_w: int, mean: jnp.ndarray,
-                     std: jnp.ndarray,
-                     axis_aligned: bool = False) -> jnp.ndarray:
+                     std: jnp.ndarray, axis_aligned: bool = False,
+                     precision=None) -> jnp.ndarray:
     """uint8 BGR frame -> normalized (1, out_h, out_w, 3) network input.
 
     Fuses warp + /255 + mean/std normalize
     (reference: detector.py:219-224). ``axis_aligned`` selects the MXU
-    separable warp (valid whenever rot == 0, i.e. every test-time path).
+    separable warp (valid whenever rot == 0, i.e. every test-time
+    path); ``precision`` follows affine_warp_separable (None = exact
+    HIGHEST, DEFAULT = fast bf16-MXU for bf16 serving).
     """
     if axis_aligned:
-        warped = affine_warp_separable(frame_u8, inv_trans, out_h, out_w)
+        warped = affine_warp_separable(frame_u8, inv_trans, out_h,
+                                       out_w, precision=precision)
     else:
         warped = affine_warp(frame_u8, inv_trans, out_h, out_w)
     inp = (warped / 255.0 - mean) / std
     return inp[None]
+
+
+def warp_precision_for(cfg):
+    """Map Config.warp_precision to a lax.Precision for the serving
+    warp: 'auto' -> DEFAULT (one bf16 MXU pass) when the network
+    computes in bfloat16 — its first conv quantizes the input to ~2x
+    the warp's bf16 rounding anyway — else HIGHEST; 'highest'/'default'
+    force one mode for A/B and parity runs."""
+    mode = getattr(cfg, "warp_precision", "auto")
+    if mode == "auto":
+        fast = getattr(cfg, "compute_dtype", "float32") == "bfloat16"
+    elif mode in ("default", "fast"):
+        fast = True
+    elif mode == "highest":
+        fast = False
+    else:
+        raise ValueError(
+            f"warp_precision must be auto|highest|default, got {mode!r}")
+    return (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
 
 
 def fix_res_meta(height: int, width: int, input_h: int, input_w: int):

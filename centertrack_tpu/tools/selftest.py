@@ -220,6 +220,89 @@ def make_dataset_ddd(root, num_videos=6, frames=24, width=1600,
     return ann_path, img_dir
 
 
+# 17 COCO joints as fixed fractional positions inside a person box
+# (x-fraction, y-fraction): nose, eyes, ears, shoulders, elbows,
+# wrists, hips, knees, ankles — a rigid "mannequin" layout so the
+# keypoint heads have a deterministic geometric target.
+POSE_LAYOUT = np.array([
+    [0.50, 0.08], [0.42, 0.05], [0.58, 0.05], [0.35, 0.07],
+    [0.65, 0.07], [0.30, 0.20], [0.70, 0.20], [0.20, 0.38],
+    [0.80, 0.38], [0.15, 0.55], [0.85, 0.55], [0.35, 0.55],
+    [0.65, 0.55], [0.35, 0.75], [0.65, 0.75], [0.35, 0.95],
+    [0.65, 0.95]], np.float32)
+
+# distinct per-joint draw colors (BGR), fixed so joint identity is
+# learnable from appearance
+POSE_COLORS = [(int(40 + 210 * ((j * 5) % 17) / 16),
+                int(40 + 210 * ((j * 7) % 17) / 16),
+                int(40 + 210 * ((j * 11) % 17) / 16))
+               for j in range(17)]
+
+
+def make_dataset_pose(root, num_videos=6, frames=24, width=1280,
+                      height=720, seed=0, max_objs=5):
+    """Synthetic pose-tracking dataset (COCO-person geometry): moving
+    'mannequins' — tall filled rectangles with 17 per-joint colored
+    dots at fixed fractional body positions (POSE_LAYOUT) — annotated
+    with COCO keypoints [x, y, 2]*17 plus track ids. Trains the
+    `tracking,multi_pose` head set (hps/hm_hp/hp_offset) end to end
+    (reference pose dataset: src/lib/dataset/datasets/coco_hp.py)."""
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations, videos = [], [], []
+    img_id = ann_id = 0
+    rng = np.random.RandomState(seed)
+    for v in range(num_videos):
+        videos.append({"id": v + 1, "file_name": f"video{v + 1}"})
+        n_obj = rng.randint(2, max_objs + 1)
+        hgt = rng.uniform(110, 220, n_obj)          # person height px
+        wdt = hgt * rng.uniform(0.38, 0.5, n_obj)
+        px = np.array([rng.uniform(10, width - w - 10) for w in wdt])
+        py = np.array([rng.uniform(10, height - h - 10) for h in hgt])
+        pos = np.stack([px, py], axis=1)
+        vel = rng.uniform(-5, 5, (n_obj, 2))
+        colors = rng.randint(60, 200, (n_obj, 3))
+        for f in range(frames):
+            img_id += 1
+            fn = f"v{v + 1}_f{f + 1}.jpg"
+            img = rng.randint(180, 220, (height, width, 3), np.uint8)
+            images.append({
+                "id": img_id, "file_name": fn, "width": width,
+                "height": height, "video_id": v + 1, "frame_id": f + 1,
+            })
+            for o in range(n_obj):
+                x, y = pos[o] + vel[o] * f
+                w, h = wdt[o], hgt[o]
+                x = float(np.clip(x, 0, width - w))
+                y = float(np.clip(y, 0, height - h))
+                cv2.rectangle(img, (int(x), int(y)),
+                              (int(x + w), int(y + h)),
+                              tuple(int(c) for c in colors[o]), -1)
+                kps = []
+                for j in range(17):
+                    jx = x + POSE_LAYOUT[j, 0] * w
+                    jy = y + POSE_LAYOUT[j, 1] * h
+                    cv2.circle(img, (int(jx), int(jy)), 4,
+                               POSE_COLORS[j], -1)
+                    kps += [float(jx), float(jy), 2]
+                ann_id += 1
+                annotations.append({
+                    "id": ann_id, "image_id": img_id, "category_id": 1,
+                    "bbox": [x, y, float(w), float(h)],
+                    "area": float(w * h), "iscrowd": 0,
+                    "track_id": o + 1, "keypoints": kps,
+                    "num_keypoints": 17,
+                })
+            cv2.imwrite(os.path.join(img_dir, fn), img)
+    ann = {"images": images, "annotations": annotations,
+           "videos": videos,
+           "categories": [{"id": 1, "name": "person"}]}
+    ann_path = os.path.join(root, "annotations_pose.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    return ann_path, img_dir
+
+
 def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
               compute_dtype: str = "float32", batch_size: int = 8,
               lr: float = 5e-4, epochs: int = 30, input_h: int = 96,

@@ -141,11 +141,19 @@ def test_local_premul_matches_fused():
     premul = with_impl("premul")
     np.testing.assert_allclose(np.asarray(premul), np.asarray(fused),
                                atol=1e-4, rtol=1e-4)
-    # cout(4) < cin(8): the inference default must pick premul
-    default = dcn.deform_conv2d_local(x, offset, mask, w, bias,
-                                      max_offset=2, train=False)
-    np.testing.assert_array_equal(np.asarray(default),
-                                  np.asarray(premul))
+    # cout(4) < cin(8) at B=1: the inference default must pick premul
+    # (bit-equal to the explicit premul run on the same slice)
+    premul1 = with_impl("premul")  # env override, full batch
+    default1 = dcn.deform_conv2d_local(x[:1], offset[:1], mask[:1], w,
+                                       bias, max_offset=2, train=False)
+    np.testing.assert_array_equal(np.asarray(default1),
+                                  np.asarray(premul1)[:1])
+    # B>1 inference defaults to taploop (docs/dcn_ms_ab.json): close to
+    # but not bit-equal with premul
+    default_b = dcn.deform_conv2d_local(x, offset, mask, w, bias,
+                                        max_offset=2, train=False)
+    np.testing.assert_allclose(np.asarray(default_b),
+                               np.asarray(premul), atol=1e-4, rtol=1e-4)
 
     # bf16 (the serving dtype on the largest feature maps): both
     # schedules accumulate their contraction in fp32, so they must
@@ -189,6 +197,11 @@ def test_local_impl_config_resolution():
         assert dcn.resolve_local_impl(False, 64, 64) == "premul"
         assert dcn.resolve_local_impl(False, 128, 64) == "premul"
         assert dcn.resolve_local_impl(False, 128, 128) == "fused"
+        # batched inference falls back to taploop: the premul/fused
+        # B-scaled padded transients collapse at S=6 (docs/dcn_ms_ab.json
+        # — the r4 multi-stream 96.6->29.9 regression)
+        assert dcn.resolve_local_impl(False, 64, 64, batch=6) == "taploop"
+        assert dcn.resolve_local_impl(False, 128, 128, batch=2) == "taploop"
         # explicit config choice applies to both train and inference
         dcn.set_local_impl("taploop")
         assert dcn.resolve_local_impl(False, 128, 128) == "taploop"

@@ -82,3 +82,29 @@ def test_windowed_render_matches_dense():
         h, w, jnp.asarray(cts, jnp.int32), jnp.asarray(radii, jnp.int32),
         jnp.asarray(ks), jnp.asarray(valid)))[..., 0]
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_compact_render_matches_scan():
+    """The serving-engine compact path (live slots sorted to the front,
+    lax.while_loop trip count = live count) is value-exact vs the dense
+    scan: max-splatting commutes, so the reorder cannot change the
+    canvas. Mirrors the device-tracker regime: large capacity, few
+    live slots."""
+    rng = np.random.RandomState(7)
+    h, w, n = 200, 288, 64
+    cts = np.stack([rng.randint(-8, w + 8, n),
+                    rng.randint(-8, h + 8, n)], 1)
+    radii = rng.randint(0, 30, n)
+    ks = rng.rand(n).astype(np.float32)
+    valid = rng.rand(n) > 0.8          # ~13 live of 64 slots
+    args = (h, w, jnp.asarray(cts, jnp.int32),
+            jnp.asarray(radii, jnp.int32), jnp.asarray(ks),
+            jnp.asarray(valid))
+    dense = np.asarray(gaussian.render_pre_hm(*args))
+    compact = np.asarray(gaussian.render_pre_hm(*args, compact=True))
+    np.testing.assert_array_equal(compact, dense)
+    # all-dead: while_loop body never runs
+    none = np.asarray(gaussian.render_pre_hm(
+        h, w, jnp.asarray(cts, jnp.int32), jnp.asarray(radii, jnp.int32),
+        jnp.asarray(ks), jnp.zeros(n, bool), compact=True))
+    assert none.sum() == 0

@@ -188,6 +188,50 @@ def test_multichip_real_nodes_match_single_device(node):
             np.testing.assert_array_equal(ref, np.asarray(sh.data))
 
 
+def test_grad_accum_matches_monolithic():
+    """cfg.grad_accum=2 on a duplicated batch [mb; mb] must produce the
+    same optimizer update as one monolithic step on the same batch:
+    per-micro BN statistics over mb equal the full-batch statistics
+    over the duplicate, each micro gradient equals the full-batch
+    gradient, and the fp32-accumulated average is that same gradient.
+    (The envelope this enables: effective B=16/32 per chip past the
+    B=16 monolithic compile failure, docs/train_bench.json; reference
+    trains MOT17 at batch 32, readme/MODEL_ZOO.md:16-20.)"""
+    with jax.default_matmul_precision("float32"):
+        t_mono, _ = make_trainer(batch_size=4, seed=7)
+        t_acc, _ = make_trainer(batch_size=4, seed=7, grad_accum=2)
+        assert t_acc.accum == 2
+        mb = tiny_batch(b=2)
+        batch = {k: np.concatenate([v, v], axis=0)
+                 for k, v in mb.items()}
+        s_mono, l_mono = t_mono._train_step(
+            t_mono.state, shard_batch(batch, t_mono.mesh), 1e-4)
+        l_acc = t_acc._train_step_accum(batch, 1e-4)
+        s_acc = t_acc.state
+        np.testing.assert_allclose(float(l_mono["tot"]),
+                                   float(l_acc["tot"]), rtol=1e-5)
+        assert int(s_acc.step) == 1
+        # same Adam caveat as the multichip test: near-zero grads can
+        # flip sign under reduction-order noise; bound drift at 3*lr
+        for a, b in zip(jax.tree_util.tree_leaves(s_mono.params),
+                        jax.tree_util.tree_leaves(s_acc.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=3e-4)
+
+
+def test_grad_accum_epoch_runs():
+    """run_epoch routes train batches through the accumulating path and
+    rejects indivisible batches loudly."""
+    t, _ = make_trainer(batch_size=4, seed=9, grad_accum=2)
+    batch = tiny_batch(b=4)
+    losses = t._train_step_accum(batch, 1e-4)
+    assert np.isfinite(float(losses["tot"]))
+    bad = tiny_batch(b=3)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="grad_accum"):
+        t._train_step_accum(bad, 1e-4)
+
+
 def test_sgd_optimizer():
     t, cfg = make_trainer(optim="sgd")
     batch = tiny_batch()

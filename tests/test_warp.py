@@ -46,3 +46,42 @@ def test_separable_warp_matches_gather():
     sep = np.asarray(warp.affine_warp_separable(
         jnp.asarray(img), inv, 48, 64))
     np.testing.assert_allclose(sep, ref, atol=1e-2)
+
+
+def test_fast_warp_precision_close_to_exact():
+    """The bf16-serving warp (precision=DEFAULT — one MXU pass instead
+    of HIGHEST's 6-pass fp32 emulation) must stay within ~1 intensity
+    LSB of the exact warp: each output mixes only 2 hat weights per
+    axis, so the bf16 rounding error is ~pixel * 2^-8."""
+    import jax
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (180, 260, 3), np.uint8)
+    c = np.array([130.0, 90.0], np.float32)
+    trans = affine.get_affine_transform(c, 260.0, 0, (128, 96))
+    inv = jnp.asarray(affine.invert_affine(trans), jnp.float32)
+    exact = np.asarray(warp.affine_warp_separable(
+        jnp.asarray(img), inv, 96, 128))
+    fast = np.asarray(warp.affine_warp_separable(
+        jnp.asarray(img), inv, 96, 128,
+        precision=jax.lax.Precision.DEFAULT))
+    assert np.abs(fast - exact).max() <= 1.5
+
+
+def test_warp_precision_for_config():
+    import jax
+    from centertrack_tpu.config import Config
+    hi = jax.lax.Precision.HIGHEST
+    lo = jax.lax.Precision.DEFAULT
+    assert warp.warp_precision_for(
+        Config(task="tracking", compute_dtype="bfloat16")) == lo
+    assert warp.warp_precision_for(
+        Config(task="tracking", compute_dtype="float32")) == hi
+    assert warp.warp_precision_for(
+        Config(task="tracking", compute_dtype="bfloat16",
+               warp_precision="highest")) == hi
+    assert warp.warp_precision_for(
+        Config(task="tracking", warp_precision="default")) == lo
+    import pytest
+    with pytest.raises(ValueError, match="warp_precision"):
+        warp.warp_precision_for(
+            Config(task="tracking", warp_precision="bogus"))
