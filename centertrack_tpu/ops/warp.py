@@ -100,14 +100,20 @@ def affine_warp_separable(image: jnp.ndarray, inv_trans: jnp.ndarray,
     wx = jnp.maximum(
         0.0, 1.0 - jnp.abs(sx[:, None] -
                            jnp.arange(w, dtype=jnp.float32)[None, :]))
-    img_f = image.astype(jnp.float32)
-    tmp = jnp.einsum("oh,hwc->owc", wy, img_f,
+    # channels-FIRST schedule: contracting the channels-last layout
+    # directly ("pw,owc->opc") makes the x-pass a batched matmul with
+    # N = C = 3 output lanes — 3/128 MXU utilization. Transposing the
+    # (small, uint8) image to (C, H, W) first turns both passes into
+    # well-tiled (out, K) @ (K, big) matmuls; the transposes are pure
+    # byte moves on the smallest tensors in the op.
+    img_f = jnp.transpose(image, (2, 0, 1)).astype(jnp.float32)
+    tmp = jnp.einsum("oh,chw->cow", wy, img_f,
                      preferred_element_type=jnp.float32,
                      precision=precision)
-    out = jnp.einsum("pw,owc->opc", wx, tmp,
+    out = jnp.einsum("pw,cow->cop", wx, tmp,
                      preferred_element_type=jnp.float32,
                      precision=precision)
-    return out
+    return jnp.transpose(out, (1, 2, 0))
 
 
 def preprocess_frame(frame_u8: jnp.ndarray, inv_trans: jnp.ndarray,
