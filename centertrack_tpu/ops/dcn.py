@@ -36,7 +36,7 @@ import jax.numpy as jnp
 # CT_LOCAL_IMPL env var (experiment escape hatch) > this default
 # (when not 'auto') > the measured mode-switch heuristic.
 _LOCAL_IMPL_DEFAULT = "auto"
-_LOCAL_IMPLS = ("auto", "taploop", "premul", "fused")
+_LOCAL_IMPLS = ("auto", "taploop", "premul", "fused", "shiftfirst")
 
 
 def set_local_impl(impl: str) -> None:
@@ -501,6 +501,50 @@ def deform_conv2d_local(x: jnp.ndarray, offset: jnp.ndarray,
                             x.dtype)
                 out = out + (acc * m[..., None].astype(x.dtype)
                              ).astype(jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
+    if impl == "shiftfirst":
+        # Loop-swapped sampling: instead of 9 per-tap hat-FMA stencils
+        # (each reading (2r+1)^2 shifted views of the padded input — 81
+        # operand reads of the full map at r=1, the dominant HBM
+        # traffic of this op, docs/PERF.md byte budget), accumulate the
+        # (B, H, W, 9, Cin) tap stack over the (2r+3)^2 ABSOLUTE
+        # shifts. Each shifted read of x is then SHARED by every tap
+        # whose clamped support contains that shift (up to 9), inside
+        # one XLA loop fusion: 25 shifted reads instead of 81 at r=1.
+        # The tail is the `fused` contraction: one K=9*Cin MXU matmul.
+        dys = [jnp.clip(offset[..., 2 * t], -r, r) for t in range(9)]
+        dxs = [jnp.clip(offset[..., 2 * t + 1], -r, r) for t in range(9)]
+        zero = jnp.zeros((b, h, w), x.dtype)
+        terms = None
+        for a in range(-1 - r, 2 + r):
+            for bb in range(-1 - r, 2 + r):
+                lanes = []
+                for i in range(3):
+                    ty = i - 1
+                    if not ty - r <= a <= ty + r:
+                        lanes.extend([zero] * 3)
+                        continue
+                    for j in range(3):
+                        tx = j - 1
+                        if not tx - r <= bb <= tx + r:
+                            lanes.append(zero)
+                            continue
+                        t = i * 3 + j
+                        wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+                            ty + dys[t] - a))
+                        wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+                            tx + dxs[t] - bb))
+                        lanes.append((wy * wx * mask[..., t]
+                                      ).astype(x.dtype))
+                coeff = jnp.stack(lanes, axis=-1)  # (B, H, W, 9)
+                term = shifted(a, bb)[..., None, :] * coeff[..., None]
+                terms = term if terms is None else terms + term
+        stacked = terms.reshape(b, h, w, 9 * cin)
+        out = jnp.einsum("bhwk,kd->bhwd", stacked,
+                         weight.reshape(9 * cin, cout),
+                         preferred_element_type=jnp.float32)
         if bias is not None:
             out = out + bias.astype(jnp.float32)
         return out.astype(x.dtype)

@@ -96,8 +96,16 @@ def main():
             "local_r1_fused": jax.jit(
                 lambda *a: _with_impl(
                     "fused", deform_conv2d_local, *a, max_offset=1)),
+            "local_r1_shiftfirst": jax.jit(
+                lambda *a: _with_impl(
+                    "shiftfirst", deform_conv2d_local, *a,
+                    max_offset=1)),
             "local_r2": jax.jit(
                 lambda *a: deform_conv2d_local(*a, max_offset=2)),
+            "local_r2_shiftfirst": jax.jit(
+                lambda *a: _with_impl(
+                    "shiftfirst", deform_conv2d_local, *a,
+                    max_offset=2)),
             "local_r3": jax.jit(
                 lambda *a: deform_conv2d_local(*a, max_offset=3)),
         }

@@ -50,6 +50,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/stage_probe.json")
     p.add_argument("--iters", type=int, default=60)
+    p.add_argument("--breakdown", action="store_true",
+                   help="also time conv-node/backbone/per-schedule "
+                        "forwards (adds several cold compiles)")
     args = p.parse_args(argv)
 
     import jax
@@ -120,6 +123,50 @@ def main(argv=None):
                                image, pre_img, pre_hm, train=False)[-1]
 
     res["forward_ms"] = timeit(fwd, img, img, prehm, iters=args.iters)
+
+    if args.breakdown:
+        # ---- where inside the forward do the ms go ------------------
+        # (a) same architecture with 1x1-conv nodes (random init —
+        #     timing only): forward minus this = in-model cost of the
+        #     11 clamped-DCN modules. (b) backbone (DLA base) alone.
+        # (c) full forward under each local-DCN schedule.
+        def fwd_for(node, impl=""):
+            prev = os.environ.get("CT_LOCAL_IMPL")
+            if impl:
+                os.environ["CT_LOCAL_IMPL"] = impl
+            try:
+                det2, _, _ = bench.build_detector(node, "/nonexistent")
+                f = jax.jit(lambda a, b, c: det2.model.apply(
+                    {"params": det2.params,
+                     "batch_stats": det2.batch_stats},
+                    a, b, c, train=False)[-1])
+                return timeit(f, img, img, prehm, iters=args.iters)
+            finally:
+                if impl:
+                    if prev is None:
+                        os.environ.pop("CT_LOCAL_IMPL", None)
+                    else:
+                        os.environ["CT_LOCAL_IMPL"] = prev
+
+        res["forward_convnode_ms"] = fwd_for("conv")
+        for impl in ("taploop", "premul", "fused", "shiftfirst"):
+            res[f"forward_local1_{impl}_ms"] = fwd_for("dcn_local1",
+                                                       impl)
+
+        # backbone alone (the DLA base incl. temporal stems)
+        from centertrack_tpu.models.dla import DLA, DLA_CONFIGS
+        levels, channels, block = DLA_CONFIGS[34]
+        base = DLA(levels, channels, block, with_pre_img=True,
+                   with_pre_hm=True, dtype=jnp.bfloat16)
+        var = jax.jit(base.init, static_argnames="train")(
+            jax.random.PRNGKey(0), img, img, prehm, train=False)
+
+        @jax.jit
+        def bk(a, b, c):
+            return base.apply(var, a, b, c, train=False)[-1]
+
+        res["backbone_ms"] = timeit(bk, img, img, prehm,
+                                    iters=args.iters)
 
     @jax.jit
     def fwd_dec(image, pre_img, pre_hm):

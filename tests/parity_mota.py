@@ -248,8 +248,11 @@ def main(argv=None):
     import tempfile
 
     payload = {"protocol": {
-        "domain": "selftest synthetic MOT (6 videos x 24 frames, "
-                  "96x160, seed 0, tools/selftest.make_dataset)",
+        "domain": "DISCRIMINATIVE selftest MOT (6 videos x 24 frames, "
+                  "96x160, seed 0, tools/selftest.make_dataset "
+                  "hard=True: 8-12 objects, z-order occlusion "
+                  "crossings, mid-sequence births/deaths, scale/aspect "
+                  "drift — VERDICT r4 item 5)",
         "schedule": f"Adam lr 5e-4, batch 8, {args.epochs} epochs, "
                     "hm_disturb 0.05 lost_disturb 0.4 fp_disturb 0.1, "
                     "same_aug_pre, not_rand_crop, no flip, pre_hm",

@@ -184,6 +184,40 @@ def test_local_premul_matches_fused():
                                atol=0.15, rtol=0.05)
 
 
+def test_local_shiftfirst_matches_fused():
+    """The shiftfirst schedule (loop-swapped sampling: accumulate the
+    tap stack over absolute shifts so each shifted read is shared by
+    every tap whose clamped support contains it) is the same
+    contraction as fused — identical tap stack, identical K=9*Cin
+    matmul — so they must agree to accumulation-order rounding."""
+    import os
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(2, 9, 11, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(4).astype(np.float32))
+    offset = jnp.asarray(
+        rng.uniform(-3, 3, (2, 9, 11, 18)).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 9, 11, 9).astype(np.float32))
+
+    def with_impl(impl, r):
+        prev = os.environ.get("CT_LOCAL_IMPL")
+        os.environ["CT_LOCAL_IMPL"] = impl
+        try:
+            return dcn.deform_conv2d_local(x, offset, mask, w, bias,
+                                           max_offset=r)
+        finally:
+            if prev is None:
+                os.environ.pop("CT_LOCAL_IMPL", None)
+            else:
+                os.environ["CT_LOCAL_IMPL"] = prev
+
+    for r in (1, 2):
+        fused = with_impl("fused", r)
+        sf = with_impl("shiftfirst", r)
+        np.testing.assert_allclose(np.asarray(sf), np.asarray(fused),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_local_impl_config_resolution():
     """Config.local_impl is the flag-visible schedule selector
     (promoted from the CT_LOCAL_IMPL shadow env var); the env var
