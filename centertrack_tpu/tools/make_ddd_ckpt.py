@@ -36,6 +36,11 @@ def main(argv=None):
                          "the synthetic scene uses category 1 only)")
     ap.add_argument("--root", default="")
     ap.add_argument("--out", default="assets/selftest_ddd_fp16.ckpt")
+    ap.add_argument("--resume", default="",
+                    help="fp16 ckpt to fine-tune from (fresh optimizer)")
+    ap.add_argument("--start_epoch", type=int, default=1)
+    ap.add_argument("--lr_step", default="60",
+                    help="comma list of absolute epochs for x0.1 decay")
     args = ap.parse_args(argv)
 
     from centertrack_tpu.tools import selftest
@@ -48,8 +53,21 @@ def main(argv=None):
     cfg = selftest.build_cfg(
         ann_path, img_dir, args.dla_node, "float32", args.batch_size,
         args.lr, args.epochs, input_h=448, input_w=800,
-        task="tracking,ddd", num_classes=args.num_classes)
-    params, batch_stats = selftest.train(cfg, args.epochs)
+        task="tracking,ddd", num_classes=args.num_classes,
+        lr_step=tuple(int(e) for e in args.lr_step.split(",")))
+    init = None
+    if args.resume:
+        import pickle
+        import jax.numpy as jnp
+        with open(args.resume, "rb") as f:
+            blob = pickle.load(f)
+        import jax
+        f32 = lambda t: jnp.asarray(np.asarray(t), jnp.float32)
+        init = (jax.tree.map(f32, blob["params"]),
+                jax.tree.map(f32, blob["batch_stats"]))
+        print(f"resuming from {args.resume} (epoch {blob.get('epoch')})")
+    params, batch_stats = selftest.train(cfg, args.epochs, init=init,
+                                         start_epoch=args.start_epoch)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     slim_fp16(params, batch_stats, args.epochs, args.out)
 

@@ -307,7 +307,7 @@ def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
               compute_dtype: str = "float32", batch_size: int = 8,
               lr: float = 5e-4, epochs: int = 30, input_h: int = 96,
               input_w: int = 160, task: str = "tracking",
-              num_classes: int = 1):
+              num_classes: int = 1, lr_step=(60,)):
     from centertrack_tpu.config import Config, parse_task, set_heads
 
     cfg = Config(
@@ -315,7 +315,7 @@ def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
         custom_dataset_ann_path=ann_path, custom_dataset_img_path=img_dir,
         num_classes=num_classes, input_h=input_h, input_w=input_w,
         dla_node=dla_node, compute_dtype=compute_dtype,
-        batch_size=batch_size, lr=lr,
+        batch_size=batch_size, lr=lr, lr_step=tuple(lr_step),
         hm_disturb=0.05, lost_disturb=0.4, fp_disturb=0.1,
         same_aug_pre=True, not_rand_crop=True, flip=0.0,
         track_thresh=0.3, new_thresh=0.3, max_age=3,
@@ -326,8 +326,14 @@ def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
         "num_joints": 17}))
 
 
-def train(cfg, epochs: int, log=print):
-    """Train the selftest model; returns (params, batch_stats)."""
+def train(cfg, epochs: int, log=print, init=None, start_epoch=1):
+    """Train the selftest model; returns (params, batch_stats).
+
+    `init=(params, batch_stats)` resumes from existing weights (fresh
+    optimizer state — used by the bench-ckpt fine-tune path), and
+    `start_epoch` offsets the epoch counter so cfg.lr_step decay
+    applies at the right absolute epoch (engine/trainer.py
+    make_lr_schedule; reference: src/main.py:92-96)."""
     from centertrack_tpu.data.datasets import CustomDataset
     from centertrack_tpu.data.loader import DataLoader
     from centertrack_tpu.engine.trainer import Trainer
@@ -335,11 +341,14 @@ def train(cfg, epochs: int, log=print):
 
     model = create_model(cfg.arch, cfg.heads_dict, cfg.head_convs_dict,
                          cfg)
-    params, batch_stats = init_model(model, cfg)
+    if init is not None:
+        params, batch_stats = init
+    else:
+        params, batch_stats = init_model(model, cfg)
     trainer = Trainer(cfg, model, params, batch_stats)
     ds = CustomDataset(cfg, "train")
     loader = DataLoader(ds, cfg.batch_size, shuffle=True, num_workers=4)
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, start_epoch + epochs):
         stats = trainer.train(epoch, loader, log_every=1000)
         if epoch % 5 == 0 or epoch == 1:
             log(f"epoch {epoch}: tot {stats['tot']:.4f} "
