@@ -377,10 +377,12 @@ def _secondary(out_path):
     # ---- nuScenes monocular-3D serving (tracking,ddd @ 448x800) ----
     # vs the reference's 28 FPS nuScenes 3D (README.md:47-51); the
     # on-device 3D lift + the richer fetch_full host parse are inside
-    # the timed loop.
+    # the timed loop. track_thresh 0.1 is the reference's published
+    # nuScenes 3D-tracking operating point
+    # (reference: experiments/nuScenes_3Dtracking.sh:5).
     det, cfg, trained = build_detector(
         "dcn_local1", CKPT_DDD, task="tracking,ddd", meta=_nusc_meta(),
-        num_classes=10)
+        num_classes=10, track_thresh=0.1)
     ddd_frames = synth_frames_ddd(24)
     fps, live = _guarded_leg(
         "nuscenes3d",

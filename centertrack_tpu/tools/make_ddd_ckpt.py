@@ -71,12 +71,15 @@ def main(argv=None):
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     slim_fp16(params, batch_stats, args.epochs, args.out)
 
-    # quick serving probe: live tracks + depth sanity on a fresh clip
+    # quick serving probe: live tracks + depth sanity on a fresh clip.
+    # track_thresh 0.1 matches both the bench nuscenes3d leg and the
+    # reference's published nuScenes 3D-tracking operating point
+    # (reference: experiments/nuScenes_3Dtracking.sh:5).
     from centertrack_tpu.engine.fused import FusedDetector
     import dataclasses
     scfg = dataclasses.replace(cfg, compute_dtype="bfloat16",
-                               track_thresh=0.3, new_thresh=0.3,
-                               out_thresh=0.3, pre_thresh=0.3)
+                               track_thresh=0.1, new_thresh=0.1,
+                               out_thresh=0.1, pre_thresh=0.1)
     det = FusedDetector(scfg, params=params, batch_stats=batch_stats,
                         dataset_meta=selftest.selftest_meta(cfg))
     import cv2
