@@ -307,7 +307,7 @@ def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
               compute_dtype: str = "float32", batch_size: int = 8,
               lr: float = 5e-4, epochs: int = 30, input_h: int = 96,
               input_w: int = 160, task: str = "tracking",
-              num_classes: int = 1, lr_step=(60,)):
+              num_classes: int = 1, lr_step=(60,), seed: int = 317):
     from centertrack_tpu.config import Config, parse_task, set_heads
 
     cfg = Config(
@@ -315,7 +315,7 @@ def build_cfg(ann_path: str, img_dir: str, dla_node: str = "dcn_local",
         custom_dataset_ann_path=ann_path, custom_dataset_img_path=img_dir,
         num_classes=num_classes, input_h=input_h, input_w=input_w,
         dla_node=dla_node, compute_dtype=compute_dtype,
-        batch_size=batch_size, lr=lr, lr_step=tuple(lr_step),
+        batch_size=batch_size, lr=lr, lr_step=tuple(lr_step), seed=seed,
         hm_disturb=0.05, lost_disturb=0.4, fp_disturb=0.1,
         same_aug_pre=True, not_rand_crop=True, flip=0.0,
         track_thresh=0.3, new_thresh=0.3, max_age=3,
@@ -347,7 +347,8 @@ def train(cfg, epochs: int, log=print, init=None, start_epoch=1):
         params, batch_stats = init_model(model, cfg)
     trainer = Trainer(cfg, model, params, batch_stats)
     ds = CustomDataset(cfg, "train")
-    loader = DataLoader(ds, cfg.batch_size, shuffle=True, num_workers=4)
+    loader = DataLoader(ds, cfg.batch_size, shuffle=True, num_workers=4,
+                        seed=cfg.seed)
     for epoch in range(start_epoch, start_epoch + epochs):
         stats = trainer.train(epoch, loader, log_every=1000)
         if epoch % 5 == 0 or epoch == 1:

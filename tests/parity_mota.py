@@ -62,7 +62,7 @@ def _common_ref_args(ann_path, img_dir, node):
 # ------------------------------------------------------- reference train
 
 def train_reference(ann_path, img_dir, node, epochs, ckpt_out,
-                    batch_size=8, lr=5e-4, log=print):
+                    batch_size=8, lr=5e-4, log=print, seed=317):
     """Train the reference with its own Trainer/GenericDataset on CPU
     (reference: src/main.py:28-97, src/lib/trainer.py:123-181)."""
     import torch
@@ -70,7 +70,7 @@ def train_reference(ann_path, img_dir, node, epochs, ckpt_out,
     from tests.ref_pipeline import build_reference_opt, install_stubs
 
     install_stubs()
-    torch.manual_seed(317)  # reference: src/main.py:29, opts.py:48-49
+    torch.manual_seed(seed)  # reference: src/main.py:29, opts.py:48-49
     torch.set_num_threads(1)
 
     args = _common_ref_args(ann_path, img_dir, node) + [
@@ -195,12 +195,12 @@ def eval_reference(ckpt, ann_path, img_dir, node, log=print):
 # -------------------------------------------------------------- our side
 
 def train_eval_ours(ann_path, img_dir, node, epochs, batch_size=8,
-                    lr=5e-4, log=print, save_ckpt=""):
+                    lr=5e-4, log=print, save_ckpt="", seed=317):
     """Train + evaluate our framework with the selftest path."""
     from centertrack_tpu.tools.selftest import build_cfg, evaluate, train
 
     cfg = build_cfg(ann_path, img_dir, dla_node=node, batch_size=batch_size,
-                    lr=lr, epochs=epochs)
+                    lr=lr, epochs=epochs, seed=seed)
     params, batch_stats = train(cfg, epochs, log=log)
     if save_ckpt:
         from centertrack_tpu.models.model import save_model
@@ -212,24 +212,48 @@ def train_eval_ours(ann_path, img_dir, node, epochs, batch_size=8,
 # ------------------------------------------------------------------ main
 
 def run_leg(node, root, epochs, do_ours=True, do_ref=True, log=print,
-            num_videos=6, frames=24):
+            num_videos=6, frames=24, ours_seeds=(317,),
+            ref_seeds=(317,)):
+    """One parity leg. `ours_seeds`/`ref_seeds` with several entries
+    train that side once per seed and report the mean MOTA (plus the
+    per-seed draws), so a single lucky/unlucky SGD draw at this tiny
+    scale does not masquerade as a framework difference (measured
+    seed-to-seed sigma is ~0.01 MOTA on this domain)."""
     ann_path, img_dir = make_domain(root, num_videos=num_videos,
                                     frames=frames)
     out = {"node": node, "epochs": epochs}
     if do_ref:
-        ckpt = os.path.join(root, f"ref_{node}.pth")
         t0 = time.time()
-        train_reference(ann_path, img_dir, node, epochs, ckpt, log=log)
+        motas, idf1s = [], []
+        for seed in ref_seeds:
+            ckpt = os.path.join(root, f"ref_{node}_{seed}.pth")
+            train_reference(ann_path, img_dir, node, epochs, ckpt,
+                            log=log, seed=seed)
+            m = eval_reference(ckpt, ann_path, img_dir, node, log=log)
+            log(f"[ref/{node}] seed {seed}: MOTA {m['mota']:.4f} "
+                f"IDF1 {m['idf1']:.4f}")
+            motas.append(m["mota"])
+            idf1s.append(m["idf1"])
         out["ref_train_s"] = round(time.time() - t0, 1)
-        m = eval_reference(ckpt, ann_path, img_dir, node, log=log)
-        out["ref_mota"] = round(m["mota"], 4)
-        out["ref_idf1"] = round(m["idf1"], 4)
+        out["ref_mota"] = round(float(np.mean(motas)), 4)
+        out["ref_idf1"] = round(float(np.mean(idf1s)), 4)
+        out["ref_mota_seeds"] = {str(s): round(m, 4) for s, m
+                                 in zip(ref_seeds, motas)}
     if do_ours:
         t0 = time.time()
-        m = train_eval_ours(ann_path, img_dir, node, epochs, log=log)
+        motas, idf1s = [], []
+        for seed in ours_seeds:
+            m = train_eval_ours(ann_path, img_dir, node, epochs,
+                                log=log, seed=seed)
+            log(f"[ours/{node}] seed {seed}: MOTA {m['mota']:.4f} "
+                f"IDF1 {m['idf1']:.4f}")
+            motas.append(m["mota"])
+            idf1s.append(m["idf1"])
         out["ours_train_eval_s"] = round(time.time() - t0, 1)
-        out["ours_mota"] = round(m["mota"], 4)
-        out["ours_idf1"] = round(m["idf1"], 4)
+        out["ours_mota"] = round(float(np.mean(motas)), 4)
+        out["ours_idf1"] = round(float(np.mean(idf1s)), 4)
+        out["ours_mota_seeds"] = {str(s): round(m, 4) for s, m
+                                  in zip(ours_seeds, motas)}
     if do_ours and do_ref:
         out["delta_mota"] = round(out["ours_mota"] - out["ref_mota"], 4)
     return out
@@ -243,7 +267,15 @@ def main(argv=None):
     p.add_argument("--out", default="docs/parity_mota.json")
     p.add_argument("--skip_ours", action="store_true")
     p.add_argument("--skip_ref", action="store_true")
+    p.add_argument("--ours_seeds", default="317",
+                   help="comma list of init/shuffle seeds for our side; "
+                        "several seeds -> mean MOTA + per-seed draws")
+    p.add_argument("--ref_seeds", default="317",
+                   help="comma list of torch seeds for the reference "
+                        "side (same pooling semantics as --ours_seeds)")
     args = p.parse_args(argv)
+    ours_seeds = tuple(int(s) for s in args.ours_seeds.split(","))
+    ref_seeds = tuple(int(s) for s in args.ref_seeds.split(","))
 
     import tempfile
 
@@ -266,7 +298,8 @@ def main(argv=None):
         root = args.workdir or tempfile.mkdtemp(prefix=f"parity_{node}_")
         leg = run_leg(node, root, args.epochs,
                       do_ours=not args.skip_ours,
-                      do_ref=not args.skip_ref)
+                      do_ref=not args.skip_ref,
+                      ours_seeds=ours_seeds, ref_seeds=ref_seeds)
         payload["legs"].append(leg)
         print(json.dumps(leg))
         if args.out:
@@ -277,7 +310,25 @@ def main(argv=None):
             merged = {l["node"]: l for l in existing.get("legs", [])}
             for l in payload["legs"]:
                 prev = merged.get(l["node"], {})
+                # split invocations (--skip_ours / --skip_ref / extra
+                # seeds) merge into one leg: pool the per-seed draws
+                # from both halves and recompute the means, so extra
+                # draws ACCUMULATE instead of overwriting (prior
+                # single-draw artifacts count as their seed-317 draw)
+                for side in ("ref", "ours"):
+                    key = f"{side}_mota_seeds"
+                    for d in (prev, l):
+                        if f"{side}_mota" in d and key not in d:
+                            d[key] = {"317": d[f"{side}_mota"]}
+                    if key in prev and key in l:
+                        l[key] = {**prev[key], **l[key]}
+                    if key in l:
+                        l[f"{side}_mota"] = round(float(np.mean(
+                            list(l[key].values()))), 4)
                 prev.update(l)
+                if "ref_mota" in prev and "ours_mota" in prev:
+                    prev["delta_mota"] = round(
+                        prev["ours_mota"] - prev["ref_mota"], 4)
                 merged[l["node"]] = prev
             existing["protocol"] = payload["protocol"]
             existing["legs"] = list(merged.values())
